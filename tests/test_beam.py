@@ -1,0 +1,106 @@
+"""Beam search core tests with a synthetic scoring model (no network)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import itertools
+
+from speecht5_tpu.decode.beam_search import beam_search, NEG_INF
+
+V = 6
+EOS = 2
+
+
+def table_step_fn(table):
+    """Deterministic lprobs that depend only on step: table [L, V]."""
+
+    def step_fn(toks_t, step, state):
+        lp = jnp.broadcast_to(table[step][None, :], (toks_t.shape[0], V))
+        return lp, state
+
+    return step_fn
+
+
+class TestBeamCore:
+    def test_greedy_sequence(self):
+        # step 0: token 3 best; step 1: token 4 best; step 2: eos best
+        table = np.full((4, V), -10.0, np.float32)
+        table[0, 3] = -0.1
+        table[1, 4] = -0.2
+        table[2, EOS] = -0.1
+        table[3, EOS] = -0.1
+        res = beam_search(
+            table_step_fn(jnp.asarray(table)), {},
+            batch_size=2, beam_size=3, vocab_size=V, max_len=4,
+            eos_id=EOS, length_penalty=1.0, min_len=1,
+        )
+        best = np.asarray(res.tokens)[0, 0]
+        # position 0 is bos(=eos), then 3, 4, eos
+        assert best[1] == 3 and best[2] == 4 and best[3] == EOS
+        assert int(res.lengths[0, 0]) == 4
+        # both batch rows identical
+        np.testing.assert_array_equal(
+            np.asarray(res.tokens)[0], np.asarray(res.tokens)[1]
+        )
+
+    def test_matches_exhaustive(self):
+        """Beam (full width) must find the true best-scoring sequence under
+        fairseq-style normalization."""
+        rng = np.random.default_rng(3)
+        L = 3
+        table = rng.standard_normal((L, V)).astype(np.float32)
+        table = table - np.log(np.exp(table).sum(-1, keepdims=True))
+
+        # exhaustive: sequences of length l in 1..L ending with eos at step l-1
+        best_score, best_seq = -1e9, None
+        toks = [t for t in range(V) if t != EOS]
+        for l in range(1, L + 1):
+            for seq in itertools.product(toks, repeat=l - 1):
+                score = sum(table[i, seq[i]] for i in range(l - 1))
+                score += table[l - 1, EOS]
+                norm = score / l
+                if norm > best_score:
+                    best_score, best_seq = norm, seq + (EOS,)
+
+        res = beam_search(
+            table_step_fn(jnp.asarray(table)), {},
+            batch_size=1, beam_size=V - 1, vocab_size=V, max_len=L,
+            eos_id=EOS, length_penalty=1.0, min_len=1,
+        )
+        got = np.asarray(res.tokens)[0, 0]
+        got_len = int(res.lengths[0, 0])
+        np.testing.assert_allclose(float(res.scores[0, 0]), best_score, atol=1e-5)
+        assert tuple(got[1:got_len]) == best_seq
+
+    def test_min_len(self):
+        table = np.full((4, V), -5.0, np.float32)
+        table[:, EOS] = -0.01  # eos always best
+        table[:, 3] = -1.0
+        res = beam_search(
+            table_step_fn(jnp.asarray(table)), {},
+            batch_size=1, beam_size=2, vocab_size=V, max_len=4,
+            eos_id=EOS, length_penalty=1.0, min_len=3,
+        )
+        # eos blocked until 3 tokens: length >= 3
+        assert int(res.lengths[0, 0]) >= 3
+
+    def test_state_reorder(self):
+        """model_state rows must follow their beams through reordering."""
+        # lprobs depend on per-row state so reordering mistakes change scores
+        def step_fn(toks_t, step, state):
+            lp = jnp.full((toks_t.shape[0], V), -8.0)
+            # reward continuing with the same token as the row's id token
+            lp = lp.at[jnp.arange(toks_t.shape[0]), state["fav"]].set(-0.5)
+            lp = lp.at[:, EOS].set(-2.0)
+            return lp, state
+
+        fav = jnp.asarray([3, 4, 5, 3, 4, 5])  # B=2, K=3
+        res = beam_search(
+            step_fn, {"fav": fav},
+            batch_size=2, beam_size=3, vocab_size=V, max_len=3,
+            eos_id=EOS, length_penalty=1.0, min_len=1,
+        )
+        assert res.tokens.shape == (2, 3, 4)
+        # beams should emit their fav tokens; top beam for batch0 starts 3
+        seq = np.asarray(res.tokens)[0, 0]
+        assert seq[1] in (3, 4, 5)

@@ -1,0 +1,184 @@
+"""Model-level tests: shapes, jit, KV-cache parity (incremental == full)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speecht5_tpu.config import speecht5_tiny
+from speecht5_tpu.models.speecht5 import SpeechT5Model, init_model
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = speecht5_tiny()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    return cfg, model, variables
+
+
+class TestEncoder:
+    def test_encode_speech_shapes(self, tiny):
+        cfg, model, variables = tiny
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 2000])
+        enc = model.apply(variables, wav, lengths, with_ctc=True,
+                          method="encode_speech")
+        frames = cfg.conv_features.out_length(4000)
+        assert enc["encoder_out"].shape == (2, frames, cfg.d_model)
+        assert enc["valid_mask"].shape == (2, frames)
+        assert enc["ctc_logits"].shape == (2, frames, cfg.vocab_size)
+        v = np.asarray(enc["valid_mask"])
+        assert v[0].sum() > v[1].sum()
+
+    def test_encode_text_shapes(self, tiny):
+        cfg, model, variables = tiny
+        tokens = jnp.asarray([[5, 6, 7, 1, 1], [8, 9, 10, 11, 2]])
+        enc = model.apply(variables, tokens, method="encode_text")
+        assert enc["encoder_out"].shape == (2, 5, cfg.d_model)
+        np.testing.assert_array_equal(
+            np.asarray(enc["valid_mask"]),
+            [[True, True, True, False, False], [True, True, True, True, True]],
+        )
+
+    def test_attention_padding_invariance(self, tiny):
+        """Padded key positions must not influence valid encoder outputs.
+
+        Tested at the transformer-stack level (the conv frontend's GroupNorm
+        normalizes each channel over the padded time axis, so frame-exact
+        invariance through the full prenet holds only for zero padding — the
+        reference wav2vec2 extractor shares this property)."""
+        cfg, model, variables = tiny
+        from speecht5_tpu.models.encoder import TransformerEncoder
+
+        enc_mod = TransformerEncoder(cfg.encoder, ctc_vocab_size=cfg.vocab_size)
+        rngk = jax.random.PRNGKey(0)
+        x = jax.random.normal(rngk, (1, 12, cfg.d_model))
+        ev = enc_mod.init({"params": rngk}, x)
+        valid = jnp.arange(12)[None, :] < 8
+        out_masked = enc_mod.apply(ev, x, valid)["encoder_out"]
+        out_trunc = enc_mod.apply(ev, x[:, :8], jnp.ones((1, 8), bool))["encoder_out"]
+        np.testing.assert_allclose(
+            np.asarray(out_masked)[0, :8], np.asarray(out_trunc)[0],
+            atol=1e-4, rtol=1e-3,
+        )
+
+    def test_hubert_logits(self, tiny):
+        cfg, model, variables = tiny
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 4000])
+        enc = model.apply(variables, wav, lengths, method="encode_speech")
+        logits = model.apply(variables, enc, method="hubert_logits")
+        frames = cfg.conv_features.out_length(4000)
+        assert len(logits) == len(cfg.hubert.num_classes)
+        assert logits[0].shape == (2, frames, cfg.hubert.num_classes[0])
+
+
+class TestDecoderParity:
+    def test_text_incremental_matches_full(self, tiny):
+        cfg, model, variables = tiny
+        rngk = jax.random.PRNGKey(1)
+        wav = jax.random.normal(rngk, (2, 4000)) * 0.1
+        lengths = jnp.asarray([4000, 4000])
+        enc = model.apply(variables, wav, lengths, method="encode_speech")
+
+        tokens = jnp.asarray([[2, 5, 6, 7, 8], [2, 9, 10, 11, 12]])
+        full_logits = model.apply(variables, enc, tokens, method="decode_text")
+
+        cache = model.apply(variables, enc, 2, 8, method="init_text_cache")
+        step_logits = []
+        for t in range(tokens.shape[1]):
+            lg, cache = model.apply(
+                variables, tokens[:, t : t + 1], cache,
+                enc_valid=enc["valid_mask"], method="text_decode_step",
+            )
+            step_logits.append(np.asarray(lg))
+        step_logits = np.stack(step_logits, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(full_logits), step_logits, atol=2e-4, rtol=1e-3
+        )
+
+    def test_speech_incremental_matches_full(self, tiny):
+        cfg, model, variables = tiny
+        rngk = jax.random.PRNGKey(2)
+        wav = jax.random.normal(rngk, (1, 4000)) * 0.1
+        lengths = jnp.asarray([4000])
+        enc = model.apply(variables, wav, lengths, method="encode_speech")
+
+        Tr = 4
+        prev_mel = jax.random.normal(rngk, (1, Tr, cfg.n_mels))
+        spk = jax.random.normal(rngk, (1, cfg.spk_embed_dim))
+
+        before, after, stop_logits, _ = model.apply(
+            variables, enc, prev_mel, jnp.asarray([Tr]), spk, method="decode_speech"
+        )
+        assert before.shape == (1, Tr * cfg.reduction_factor, cfg.n_mels)
+        assert after.shape == before.shape
+        assert stop_logits.shape == (1, Tr * cfg.reduction_factor)
+
+        cache = model.apply(variables, enc, 1, 8, method="init_speech_cache")
+        frames_all = []
+        for t in range(Tr):
+            frames, probs, cache = model.apply(
+                variables, prev_mel[:, t : t + 1], cache, spkembs=spk,
+                enc_valid=enc["valid_mask"], method="speech_decode_step",
+            )
+            frames_all.append(np.asarray(frames))
+        step_before = np.concatenate(frames_all, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(before), step_before, atol=2e-4, rtol=1e-3
+        )
+
+    def test_jit_decode_step(self, tiny):
+        cfg, model, variables = tiny
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 4000])
+        enc = model.apply(variables, wav, lengths, method="encode_speech")
+        tokens = jnp.asarray([[2], [2]])
+        cache = model.apply(variables, enc, 2, 8, method="init_text_cache")
+
+        @jax.jit
+        def step(tok, cache, valid):
+            return model.apply(
+                variables, tok, cache, enc_valid=valid, method="text_decode_step"
+            )
+
+        lg1, cache = step(tokens, cache, enc["valid_mask"])
+        lg2, cache = step(tokens, cache, enc["valid_mask"])
+        assert lg1.shape == (2, cfg.vocab_size)
+        assert int(cache["index"]) == 2
+
+
+class TestTrainingForwards:
+    def test_forward_s2t(self, tiny):
+        cfg, model, variables = tiny
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 4000])
+        prev = jnp.asarray([[2, 5, 6], [2, 7, 8]])
+        logits, ctc_logits, enc_valid = model.apply(
+            variables, wav, lengths, prev, mask=True, deterministic=False,
+            rngs={"mask": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                  "layerdrop": jax.random.PRNGKey(2)},
+            method="forward_s2t",
+        )
+        assert logits.shape == (2, 3, cfg.vocab_size)
+        assert ctc_logits.shape[-1] == cfg.vocab_size
+
+    def test_forward_pretrain_speech(self, tiny):
+        cfg, model, variables = tiny
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 4000])
+        prev_mel = jnp.zeros((2, 3, cfg.n_mels))
+        tgt_lengths = jnp.asarray([3, 2])
+        spk = jnp.zeros((2, cfg.spk_embed_dim))
+        out = model.apply(
+            variables, wav, lengths, prev_mel, tgt_lengths, spk,
+            deterministic=False,
+            rngs={"mask": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                  "layerdrop": jax.random.PRNGKey(2), "prenet": jax.random.PRNGKey(3),
+                  "codebook": jax.random.PRNGKey(4), "gumbel": jax.random.PRNGKey(5)},
+            mutable=["batch_stats"],
+            method="forward_pretrain_speech",
+        )[0]
+        assert out["time_mask"] is not None
+        assert out["before"].shape == (2, 3 * cfg.reduction_factor, cfg.n_mels)
+        assert len(out["hubert_logits"]) == 1
