@@ -1,0 +1,297 @@
+"""Manifest-TSV datasets and static-shape batching.
+
+Behavioral spec from the reference data layer (SURVEY.md L1):
+- audio manifests: first line = root dir, then "relpath\tnframes" rows
+  (reference data/speech_to_text_dataset.py:74-140); label files are parallel
+  text files accessed by line offset (:63-72);
+- batching by token count with length-sorted ordering (fairseq batch_by_size
+  semantics);
+- TTS/VC side: log-mel targets, r-thinned ``prev_output_tokens`` with a
+  zero-frame BOS, stop labels, x-vector speaker embeddings
+  (reference data/text_to_speech_dataset.py:228-283).
+
+TPU-first departure: batches are padded to *bucketed* static shapes (audio
+length and token length rounded up to a bucket grid) so jit recompiles stay
+bounded — the reference pads to the per-batch max, which would retrace XLA on
+nearly every step.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .audio import read_wav, layer_norm_wav
+from .dictionary import Dictionary
+from ..ops.mel import log_mel_numpy
+
+
+def load_audio_manifest(path: str) -> Tuple[str, List[str], np.ndarray]:
+    with open(path, encoding="utf-8") as f:
+        root = f.readline().strip()
+        names, sizes = [], []
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2:
+                continue
+            names.append(parts[0])
+            sizes.append(int(parts[1]))
+    return root, names, np.asarray(sizes, np.int64)
+
+
+def read_lines(path: str) -> List[str]:
+    with open(path, encoding="utf-8") as f:
+        return [l.rstrip("\n") for l in f]
+
+
+def bucket_length(n: int, grid: Sequence[int]) -> int:
+    """Smallest bucket >= n (last bucket if none)."""
+    for g in grid:
+        if n <= g:
+            return g
+    return grid[-1]
+
+
+def batch_by_size(
+    sizes: np.ndarray,
+    max_tokens: int,
+    max_sentences: Optional[int] = None,
+    shuffle_seed: Optional[int] = None,
+) -> List[np.ndarray]:
+    """fairseq-style: order by length, fill batches until cost
+    (= batch_max_len * batch_count) exceeds max_tokens."""
+    order = np.argsort(sizes, kind="stable")
+    batches, cur = [], []
+    cur_max = 0
+    for idx in order:
+        n = int(sizes[idx])
+        new_max = max(cur_max, n)
+        if cur and (
+            new_max * (len(cur) + 1) > max_tokens
+            or (max_sentences and len(cur) >= max_sentences)
+        ):
+            batches.append(np.asarray(cur))
+            cur, cur_max = [], 0
+            new_max = n
+        cur.append(int(idx))
+        cur_max = new_max
+    if cur:
+        batches.append(np.asarray(cur))
+    if shuffle_seed is not None:
+        rng = np.random.default_rng(shuffle_seed)
+        rng.shuffle(batches)
+    return batches
+
+
+AUDIO_BUCKETS = tuple(int(16000 * s) for s in (2, 4, 6, 8, 10, 13, 16, 20, 25, 30))
+TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 600)
+FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3000)
+
+
+@dataclass
+class SpeechToTextDataset:
+    """ASR/ST: waveform source, token targets (reference
+    data/speech_to_text_dataset.py:74-206)."""
+
+    manifest: str
+    labels: str                 # parallel label file (one utt per line)
+    dictionary: Dictionary
+    normalize: bool = False
+    max_sample_size: Optional[int] = None
+
+    def __post_init__(self):
+        self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
+        self.label_lines = read_lines(self.labels)
+        assert len(self.label_lines) == len(self.names), (
+            f"{len(self.label_lines)} labels != {len(self.names)} utts"
+        )
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> Dict:
+        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        if self.normalize:
+            wav = layer_norm_wav(wav)
+        if self.max_sample_size and len(wav) > self.max_sample_size:
+            wav = wav[: self.max_sample_size]
+        tokens = self.dictionary.encode_line(self.label_lines[i])
+        return {"id": i, "wav": wav.astype(np.float32),
+                "tokens": np.asarray(tokens, np.int64)}
+
+    def collate(self, items: List[Dict], eos_id: int, pad_id: int,
+                bucketed: bool = True) -> Dict[str, np.ndarray]:
+        B = len(items)
+        wav_len = max(len(it["wav"]) for it in items)
+        tok_len = max(len(it["tokens"]) for it in items)
+        if bucketed:
+            wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
+            tok_len = bucket_length(tok_len, TOKEN_BUCKETS)
+        wav = np.zeros((B, wav_len), np.float32)
+        wav_lengths = np.zeros((B,), np.int32)
+        targets = np.full((B, tok_len), pad_id, np.int64)
+        prev = np.full((B, tok_len), pad_id, np.int64)
+        for b, it in enumerate(items):
+            w, t = it["wav"], it["tokens"]
+            wav[b, : len(w)] = w[:wav_len]
+            wav_lengths[b] = min(len(w), wav_len)
+            targets[b, : len(t)] = t[:tok_len]
+            # EOS-shifted decoder input (fairseq collate_tokens
+            # move_eos_to_beginning)
+            prev[b, 0] = eos_id
+            prev[b, 1 : len(t)] = t[: len(t) - 1]
+        return {"wav": wav, "wav_lengths": wav_lengths,
+                "prev_tokens": prev, "targets": targets,
+                "ids": np.asarray([it["id"] for it in items])}
+
+
+@dataclass
+class TextToSpeechDataset:
+    """TTS: token source, on-the-fly log-mel target + x-vector
+    (reference data/text_to_speech_dataset.py:142-283)."""
+
+    manifest: str
+    labels: str
+    dictionary: Dictionary
+    spkemb_dir: Optional[str] = None   # .npy x-vectors parallel to utts
+    reduction_factor: int = 2
+    n_mels: int = 80
+
+    def __post_init__(self):
+        self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
+        self.label_lines = read_lines(self.labels)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> Dict:
+        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        mel = log_mel_numpy(wav, n_mels=self.n_mels)
+        tokens = self.dictionary.encode_line(self.label_lines[i])
+        item = {"id": i, "tokens": np.asarray(tokens, np.int64), "mel": mel}
+        if self.spkemb_dir:
+            base = os.path.splitext(os.path.basename(self.names[i]))[0]
+            item["spkemb"] = np.load(
+                os.path.join(self.spkemb_dir, base + ".npy")
+            ).astype(np.float32)
+        return item
+
+    def collate(self, items: List[Dict], eos_id: int, pad_id: int,
+                bucketed: bool = True) -> Dict[str, np.ndarray]:
+        B = len(items)
+        r = self.reduction_factor
+        tok_len = max(len(it["tokens"]) for it in items)
+        mel_len = max(it["mel"].shape[0] for it in items)
+        if bucketed:
+            tok_len = bucket_length(tok_len, TOKEN_BUCKETS)
+            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
+        mel_len -= mel_len % r
+        n_mels = items[0]["mel"].shape[1]
+
+        tokens = np.full((B, tok_len), pad_id, np.int64)
+        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
+        dec_lengths = np.zeros((B,), np.int32)
+        # r-thinned AR input with zero-frame BOS (reference
+        # text_to_speech_dataset.py:241-248)
+        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
+        spk = None
+        if "spkemb" in items[0]:
+            spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
+        for b, it in enumerate(items):
+            t = it["tokens"]
+            tokens[b, : len(t)] = t[:tok_len]
+            m = it["mel"][:mel_len]
+            target_mel[b, : len(m)] = m
+            dec_lengths[b] = len(m)
+            thin = m[r - 1 :: r]           # every r-th frame (1-indexed r-1)
+            prev_mel[b, 1 : len(thin)] = thin[:-1]  # shifted, zero BOS
+            if spk is not None:
+                spk[b] = it["spkemb"]
+        batch = {"tokens": tokens, "target_mel": target_mel,
+                 "dec_lengths": dec_lengths,
+                 "dec_lengths_r": dec_lengths // r,
+                 "prev_mel": prev_mel,
+                 "ids": np.asarray([it["id"] for it in items])}
+        if spk is not None:
+            batch["spkembs"] = spk
+        return batch
+
+
+@dataclass
+class SpeechPretrainDataset:
+    """HuBERT-style pretraining: waveform + frame-level km labels + fbank
+    decoder target (reference data/speech_dataset.py:186-476)."""
+
+    manifest: str
+    km_labels: str               # frame labels, one utt per line (space-sep ints)
+    label_rate: float = 50.0
+    sample_rate: int = 16000
+    max_sample_size: int = 250000
+    n_mels: int = 80
+    reduction_factor: int = 2
+    normalize: bool = False
+
+    def __post_init__(self):
+        self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
+        self.label_lines = read_lines(self.km_labels)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> Dict:
+        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        if self.normalize:
+            wav = layer_norm_wav(wav)
+        labels = np.asarray(self.label_lines[i].split(), np.int64)
+        if len(wav) > self.max_sample_size:
+            # random crop (reference speech_dataset.py:290-300)
+            start = np.random.randint(0, len(wav) - self.max_sample_size + 1)
+            wav = wav[start : start + self.max_sample_size]
+            ls = int(start * self.label_rate / self.sample_rate)
+            le = ls + int(self.max_sample_size * self.label_rate / self.sample_rate)
+            labels = labels[ls:le]
+        mel = log_mel_numpy(wav, n_mels=self.n_mels)
+        return {"id": i, "wav": wav.astype(np.float32), "labels": labels,
+                "mel": mel}
+
+    def collate(self, items: List[Dict], frame_fn, bucketed: bool = True
+                ) -> Dict[str, np.ndarray]:
+        """frame_fn: wav_samples -> encoder frames (conv length arithmetic)."""
+        B = len(items)
+        r = self.reduction_factor
+        wav_len = max(len(it["wav"]) for it in items)
+        if bucketed:
+            wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
+        frames = int(frame_fn(wav_len))
+        mel_len = max(it["mel"].shape[0] for it in items)
+        if bucketed:
+            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
+        mel_len -= mel_len % r
+        n_mels = items[0]["mel"].shape[1]
+
+        wav = np.zeros((B, wav_len), np.float32)
+        wav_lengths = np.zeros((B,), np.int32)
+        km = np.zeros((B, frames), np.int64)
+        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
+        dec_lengths = np.zeros((B,), np.int32)
+        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
+        for b, it in enumerate(items):
+            w = it["wav"][:wav_len]
+            wav[b, : len(w)] = w
+            wav_lengths[b] = len(w)
+            # align km labels to encoder frames (feat2tar ratio, reference
+            # speech_encoder_prenet.py:206-217): label_rate == frame rate here
+            lab = it["labels"][:frames]
+            km[b, : len(lab)] = lab
+            m = it["mel"][:mel_len]
+            target_mel[b, : len(m)] = m
+            dec_lengths[b] = len(m)
+            thin = m[r - 1 :: r]
+            prev_mel[b, 1 : len(thin)] = thin[:-1]
+        return {"wav": wav, "wav_lengths": wav_lengths, "km_labels": km,
+                "target_mel": target_mel, "dec_lengths": dec_lengths,
+                "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
+                "ids": np.asarray([it["id"] for it in items])}

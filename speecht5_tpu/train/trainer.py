@@ -229,8 +229,16 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.task = task
 
-        params = variables["params"]
-        extra = {k: v for k, v in variables.items() if k != "params"}
+        # deep-copy: train_step donates its state, and device_put may alias the
+        # caller's buffers on the same device — without the copy the caller's
+        # ``variables`` would be deleted after the first step
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), variables["params"]
+        )
+        extra = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True),
+            {k: v for k, v in variables.items() if k != "params"},
+        )
         tx = make_optimizer(cfg)
         opt_state = tx.init(params)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32), extra)

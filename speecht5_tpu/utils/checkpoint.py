@@ -1,0 +1,122 @@
+"""Checkpoint save/load/resume (orbax) + fine-tune warm start.
+
+Replaces fairseq checkpoint_utils (SURVEY.md section 5.4):
+- periodic async save of the full train state (params, opt state, step,
+  batch_stats, data-iterator position) — the deterministic iterator state makes
+  resume exact, which the reference cannot do;
+- non-strict partial load for fine-tuning (--finetune-from-model semantics,
+  reference models/speecht5.py:1022-1058): module-filtered, dictionary-size
+  mismatch pruning;
+- checkpoint averaging (reference README ST recipes average the last 10).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 10,
+                 save_interval_steps: int = 1):
+        ocp = _ocp()
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                enable_async_checkpointing=True,
+            ),
+        )
+
+    def save(self, step: int, state, data_state: Optional[dict] = None):
+        ocp = _ocp()
+        items = {"state": ocp.args.StandardSave(state)}
+        if data_state is not None:
+            items["data"] = ocp.args.JsonSave(data_state)
+        self.mngr.save(step, args=ocp.args.Composite(**items))
+
+    def restore(self, state_template, step: Optional[int] = None):
+        ocp = _ocp()
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None, None, None
+        restored = self.mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+            ),
+        )
+        data = None
+        try:
+            restored_d = self.mngr.restore(
+                step, args=ocp.args.Composite(data=ocp.args.JsonRestore())
+            )
+            data = restored_d.get("data")
+        except Exception:
+            pass
+        return restored["state"], data, step
+
+    def wait(self):
+        self.mngr.wait_until_finished()
+
+
+def partial_load(
+    target_params: dict,
+    source_params: dict,
+    include_modules: Optional[List[str]] = None,
+    exclude_modules: Optional[List[str]] = None,
+    strict_shapes: bool = False,
+) -> dict:
+    """Merge source into target, module-filtered; shape mismatches keep the
+    target's (freshly initialized) value — mirroring the reference's
+    dictionary-mismatch pruning (models/speecht5.py:1036-1051) and
+    --finetune-from-modules / --finetune-out-of-modules (tasks/speecht5.py:93-113)."""
+
+    def merge(tgt, src, path):
+        if not isinstance(tgt, dict):
+            if src is None:
+                return tgt
+            if np.shape(src) != np.shape(tgt):
+                if strict_shapes:
+                    raise ValueError(f"shape mismatch at {path}: "
+                                     f"{np.shape(src)} vs {np.shape(tgt)}")
+                return tgt
+            return np.asarray(src)
+        out = {}
+        for k, v in tgt.items():
+            p = f"{path}/{k}" if path else k
+            top = p.split("/")[0]
+            if include_modules and top not in include_modules:
+                out[k] = v
+                continue
+            if exclude_modules and top in exclude_modules:
+                out[k] = v
+                continue
+            out[k] = merge(v, src.get(k) if isinstance(src, dict) else None, p)
+        return out
+
+    return merge(target_params, source_params, "")
+
+
+def average_checkpoints(param_trees: List[dict]) -> dict:
+    """Uniform parameter averaging (reference Speech2S/speech2s/scripts/
+    average_checkpoints.py semantics)."""
+    n = len(param_trees)
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x, np.float64) for x in xs).astype(
+            np.asarray(xs[0]).dtype
+        ) / n,
+        *param_trees,
+    )
