@@ -1,0 +1,138 @@
+"""ctypes bindings for the native data-loader (csrc/dataloader.cpp).
+
+Auto-builds the shared library on first use (g++ is in the image); every entry
+point has a numpy fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libspeechdata.so")
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _CSRC], check=True, capture_output=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.batch_by_size.restype = ctypes.c_int64
+    lib.batch_by_size.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.read_wav_batch.restype = None
+    lib.read_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.collate_tokens.restype = None
+    lib.collate_tokens.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def batch_by_size_native(sizes: np.ndarray, max_tokens: int,
+                         max_sentences: int = 0) -> List[np.ndarray]:
+    """C++ batcher; falls back to the numpy implementation if unavailable."""
+    lib = _load()
+    if lib is None:
+        from .manifests import batch_by_size
+
+        return batch_by_size(sizes, max_tokens, max_sentences or None)
+    n = len(sizes)
+    sizes64 = np.ascontiguousarray(sizes, np.int64)
+    out_idx = np.empty(n, np.int64)
+    out_off = np.empty(n + 1, np.int64)
+    nb = lib.batch_by_size(
+        _i64p(sizes64), n, max_tokens, max_sentences, _i64p(out_idx),
+        _i64p(out_off),
+    )
+    return [out_idx[out_off[b] : out_off[b + 1]].copy() for b in range(nb)]
+
+
+def read_wav_batch_native(paths: List[str], max_samples: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read n wavs into a zero-padded [n, max_samples] float32 array + lengths.
+    Falls back to the Python reader."""
+    lib = _load()
+    if lib is None:
+        from .audio import read_wav
+
+        out = np.zeros((len(paths), max_samples), np.float32)
+        lengths = np.zeros(len(paths), np.int64)
+        for i, p in enumerate(paths):
+            w, _ = read_wav(p)
+            w = w[:max_samples]
+            out[i, : len(w)] = w
+            lengths[i] = len(w)
+        return out, lengths
+    n = len(paths)
+    out = np.zeros((n, max_samples), np.float32)
+    lengths = np.zeros(n, np.int64)
+    srs = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.read_wav_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, _i64p(lengths),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out, lengths
+
+
+def collate_tokens_native(token_lists: List[np.ndarray], max_len: int,
+                          pad_id: int, eos_id: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Padded targets + EOS-shifted prev tokens in one native pass."""
+    lib = _load()
+    n = len(token_lists)
+    if lib is None:
+        tgt = np.full((n, max_len), pad_id, np.int64)
+        prev = np.full((n, max_len), pad_id, np.int64)
+        for i, t in enumerate(token_lists):
+            L = min(len(t), max_len)
+            tgt[i, :L] = t[:L]
+            prev[i, 0] = eos_id
+            prev[i, 1:L] = t[: L - 1]
+        return tgt, prev
+    flat = np.concatenate([np.asarray(t, np.int64) for t in token_lists])
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(t) for t in token_lists], out=offsets[1:])
+    tgt = np.empty((n, max_len), np.int64)
+    prev = np.empty((n, max_len), np.int64)
+    lib.collate_tokens(
+        _i64p(flat), _i64p(offsets), n, max_len, pad_id, eos_id,
+        _i64p(tgt), _i64p(prev),
+    )
+    return tgt, prev

@@ -31,13 +31,46 @@ def rel_position_index(q_pos, k_pos, max_dist: int):
     return jnp.clip(rel, -max_dist, max_dist - 1) + max_dist
 
 
+def _skew_band(scores_r, T: int, max_dist: int):
+    """Realize B[..., i, j] = S[..., i, clip(i-j+M, 0, 2M-1)] from
+    S = scores_r [..., T, 2M] with pad+reshape only (no gather).
+
+    Gather-free matters: XLA:TPU lowering of a [B,H,T,T] take_along_axis over
+    the last axis took ~440s to compile PER LAYER; this skew compiles in
+    seconds and adds zero FLOPs.
+    """
+    M = max_dist
+    R = 2 * M
+    s_rev = scores_r[..., ::-1]                      # col r' = j - i + (M-1)
+    W = R + T
+    p = jnp.pad(s_rev, [(0, 0)] * (s_rev.ndim - 1) + [(0, T)])
+    flat = p.reshape(p.shape[:-2] + (T * W,))
+    p2 = flat[..., : T * (W - 1)].reshape(p.shape[:-2] + (T, W - 1))
+    band = p2[..., M - 1 : M - 1 + T]                # [..., T, T]
+
+    # edge clamping: col = j - i + (M-1); col<=0 -> last rel column (most past),
+    # col>=R-1 -> first rel column (most future)
+    i = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    col = j - i + (M - 1)
+    past = scores_r[..., -1:]                        # [..., T, 1]
+    future = scores_r[..., :1]
+    out = jnp.where(col <= 0, past, band)
+    out = jnp.where(col >= R - 1, future, out)
+    return out
+
+
 def relative_bias(q, pos_table, q_pos, k_pos, max_dist: int):
     """q: [B, Tq, H, Dh] (already scaled); pos_table: [2*max_dist, Dh].
 
     Returns bias [B, H, Tq, Tk].  Equivalent to the reference's
-    q @ pe_k[i-j]^T but via table-einsum + gather (R = 2*max_dist << Tk memory).
+    q @ pe_k[i-j]^T but as one einsum against the small table followed by a
+    gather-free skew (full self-attention) or a tiny gather (decode steps).
     """
     scores_r = jnp.einsum("bqhd,rd->bhqr", q, pos_table.astype(q.dtype))
+    Tq, Tk = q_pos.shape[-1], k_pos.shape[-1]
+    if Tq == Tk and Tq > 1:
+        return _skew_band(scores_r, Tq, max_dist)
     idx = rel_position_index(q_pos, k_pos, max_dist)  # [Tq, Tk]
     idx = jnp.broadcast_to(idx, scores_r.shape[:2] + idx.shape)
     return jnp.take_along_axis(scores_r, idx, axis=-1)

@@ -55,11 +55,15 @@ def init_model(cfg: SpeechT5Config, rng, wav_len: int = 2000):
         jnp.zeros((B, cfg.spk_embed_dim)) if cfg.spk_embed_dim is not None else None
     )
     rngs = {"params": rng, "mask": rng, "codebook": rng, "gumbel": rng}
-    variables = model.init(
-        rngs, wav, wav_lengths, tokens, prev_tokens, prev_mel, tgt_lengths,
-        spkembs, method="init_all",
+    # jit the init: eager flax init dispatches thousands of tiny ops, which is
+    # pathological on remote-device backends
+    init_fn = jax.jit(
+        lambda: model.init(
+            rngs, wav, wav_lengths, tokens, prev_tokens, prev_mel, tgt_lengths,
+            spkembs, method="init_all",
+        )
     )
-    return model, variables
+    return model, init_fn()
 
 
 class SpeechT5Model(nn.Module):
