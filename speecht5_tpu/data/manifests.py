@@ -136,13 +136,14 @@ class SpeechToTextDataset:
         prev = np.full((B, tok_len), pad_id, np.int64)
         for b, it in enumerate(items):
             w, t = it["wav"], it["tokens"]
-            wav[b, : len(w)] = w[:wav_len]
+            wav[b, : min(len(w), wav_len)] = w[:wav_len]
             wav_lengths[b] = min(len(w), wav_len)
-            targets[b, : len(t)] = t[:tok_len]
+            L = min(len(t), tok_len)  # clamp once: utt may exceed top bucket
+            targets[b, :L] = t[:L]
             # EOS-shifted decoder input (fairseq collate_tokens
             # move_eos_to_beginning)
             prev[b, 0] = eos_id
-            prev[b, 1 : len(t)] = t[: len(t) - 1]
+            prev[b, 1:L] = t[: L - 1]
         return {"wav": wav, "wav_lengths": wav_lengths,
                 "prev_tokens": prev, "targets": targets,
                 "ids": np.asarray([it["id"] for it in items])}

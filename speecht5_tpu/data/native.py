@@ -18,17 +18,30 @@ _LIB_PATH = os.path.join(_CSRC, "libspeechdata.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any csrc source."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_CSRC):
+        if name.endswith((".cpp", ".cc", ".h", ".hpp")):
+            if os.path.getmtime(os.path.join(_CSRC, name)) > so_mtime:
+                return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         try:
             subprocess.run(
-                ["make", "-C", _CSRC], check=True, capture_output=True
+                ["make", "-C", _CSRC, "-B"], check=True, capture_output=True
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

@@ -85,9 +85,17 @@ def beam_search(
 
     def cond(s: BeamState):
         not_done = s.step < L
-        # upper bound on any alive beam's final normalized score (lprobs <= 0,
-        # so the best case is finishing at the next step)
-        denom = jnp.maximum(s.step + 1, 1).astype(jnp.float32) ** length_penalty
+        # upper bound on any alive beam's final normalized score.  lprobs <= 0,
+        # so with length_penalty <= 1 the best case is finishing at the next
+        # step (smallest denominator); with length_penalty > 1 a LATER finish
+        # divides the negative score by a larger denominator and scores
+        # higher, so the bound must use the max-length denominator.
+        if length_penalty > 1.0:
+            denom = jnp.float32(L) ** length_penalty
+        else:
+            denom = (
+                jnp.maximum(s.step + 1, 1).astype(jnp.float32) ** length_penalty
+            )
         best_alive = s.alive_lprob.max(axis=1) / denom
         worst_fin = s.fin_scores.min(axis=1)
         improvable = jnp.any(best_alive > worst_fin)
@@ -101,9 +109,12 @@ def beam_search(
         lprobs, model_state = step_fn(toks_t, step, s.model_state)
         lprobs = lprobs.astype(jnp.float32)
 
-        # length constraints
+        # length constraints: ban EOS until min_len real tokens have been
+        # emitted (an EOS selected at ``step`` closes a hypothesis with
+        # ``step`` real tokens — matches fairseq's `step < min_len` gate,
+        # reference sequence_generator.py)
         lprobs = lprobs.at[:, eos_id].set(
-            jnp.where(step + 1 < min_len, NEG_INF, lprobs[:, eos_id])
+            jnp.where(step < min_len, NEG_INF, lprobs[:, eos_id])
         )
         # at the last step only eos may be selected
         only_eos = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)

@@ -49,21 +49,35 @@ _RULES = (
 )
 
 
-def param_spec(path: str, ndim: int, fsdp: bool = False) -> P:
+def param_spec(path: str, shape: tuple, fsdp: bool = False,
+               n_data: int = 1, n_model: int = 1) -> P:
+    """Sharding spec for one parameter.
+
+    ZeRO/FSDP shards the first *unsharded* axis whose size divides the 'data'
+    axis — params with no such axis (tiny biases, odd conv dims) stay
+    replicated, which is exactly torch FSDP's behavior for unshardable leaves.
+    """
+    ndim = len(shape)
+
+    def _zero_extend(spec: P) -> P:
+        if not fsdp:
+            return spec
+        parts = list(spec) + [None] * (ndim - len(spec))
+        for i, p in enumerate(parts):
+            if p is None and shape[i] % n_data == 0 and shape[i] >= n_data:
+                parts[i] = "data"
+                break
+        return P(*parts)
+
     for pattern, spec in _RULES:
         if re.search(pattern, path):
-            if fsdp:
-                # additionally shard the first unsharded large axis over data
-                parts = list(spec) + [None] * (ndim - len(spec))
-                for i, p in enumerate(parts):
-                    if p is None:
-                        parts[i] = "data"
-                        break
-                return P(*parts)
-            return spec
-    if fsdp and ndim >= 2:
-        return P("data")
-    return P()
+            # drop the 'model' split when the axis doesn't divide n_model
+            parts = list(spec) + [None] * (ndim - len(spec))
+            for i, p in enumerate(parts):
+                if p == "model" and (i >= ndim or shape[i] % n_model != 0):
+                    parts[i] = None
+            return _zero_extend(P(*parts))
+    return _zero_extend(P())
 
 
 def _flatten_path(path) -> str:
@@ -80,10 +94,14 @@ def _flatten_path(path) -> str:
 
 def params_shardings(params, mesh: Mesh, fsdp: bool = False):
     """Pytree of NamedSharding matching ``params``."""
+    n_data = mesh.shape.get("data", 1)
+    n_model = mesh.shape.get("model", 1)
 
     def spec_for(path, leaf):
         return NamedSharding(
-            mesh, param_spec(_flatten_path(path), getattr(leaf, "ndim", 0), fsdp)
+            mesh,
+            param_spec(_flatten_path(path), tuple(getattr(leaf, "shape", ())),
+                       fsdp, n_data=n_data, n_model=n_model),
         )
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

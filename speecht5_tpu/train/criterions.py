@@ -51,6 +51,7 @@ def s2t_loss(
     pad_id: int,
     blank_id: int,
     *,
+    eos_id: int = 2,
     ce_weight: float = 1.0,
     ctc_weight: float = 0.0,
     label_smoothing: float = 0.1,
@@ -71,7 +72,7 @@ def s2t_loss(
         lp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
         enc_lengths = enc_valid.astype(jnp.int32).sum(-1)
         # CTC target = tokens without EOS
-        tgt_lengths = (valid & (targets != 2)).astype(jnp.int32).sum(-1)
+        tgt_lengths = (valid & (targets != eos_id)).astype(jnp.int32).sum(-1)
         nll_ctc = ctc_loss(lp, enc_lengths, targets, tgt_lengths, blank_id)
         ctc = nll_ctc.sum() / jnp.maximum(tgt_lengths.sum(), 1)
         loss = loss + ctc_weight * ctc

@@ -106,7 +106,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         )
         loss, metrics = criterions.s2t_loss(
             logits, ctc_logits, enc_valid, batch["targets"],
-            mcfg.pad_id, mcfg.blank_id,
+            mcfg.pad_id, mcfg.blank_id, eos_id=mcfg.eos_id,
             ce_weight=cfg.ce_weight, ctc_weight=cfg.ctc_weight,
             label_smoothing=cfg.label_smoothing,
         )

@@ -81,8 +81,11 @@ class TestBeamCore:
             batch_size=1, beam_size=2, vocab_size=V, max_len=4,
             eos_id=EOS, length_penalty=1.0, min_len=3,
         )
-        # eos blocked until 3 tokens: length >= 3
-        assert int(res.lengths[0, 0]) >= 3
+        # eos banned while fewer than 3 real tokens emitted (fairseq
+        # `step < min_len`): best hypothesis is exactly bos + 3 tokens + eos
+        best = np.asarray(res.tokens)[0, 0]
+        assert int(res.lengths[0, 0]) == 5
+        assert all(t != EOS for t in best[1:4]) and best[4] == EOS
 
     def test_state_reorder(self):
         """model_state rows must follow their beams through reordering."""
