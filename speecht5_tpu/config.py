@@ -146,6 +146,25 @@ class QuantizerConfig:
 
 
 @dataclass(frozen=True)
+class SIDConfig:
+    """Speaker-identification (s2c) head (reference speecht5.py:305-390 flags,
+    speaker_decoder_postnet.py:129-200).  num_classes == 0 disables the head.
+    The released SID recipe (SpeechT5/README.md:606-652) uses pooling='decoder',
+    no_pooling_bn=True, no_embed_postnet=True, softmax_type='softmax'."""
+
+    num_classes: int = 0
+    embed_dim: int = 128
+    pooling: str = "decoder"        # decoder | encoder | encoder-cls
+    softmax_type: str = "softmax"   # softmax | amsoftmax | aamsoftmax
+    margin: float = 0.0
+    scale: float = 1.0
+    easy_margin: bool = False
+    no_pooling_bn: bool = False
+    no_embed_postnet: bool = False
+    normalize_postnet: bool = False
+
+
+@dataclass(frozen=True)
 class HubertHeadConfig:
     """Masked-frame NCE head (reference speech_encoder_postnet.py:17-124)."""
 
@@ -199,6 +218,9 @@ class SpeechT5Config:
     # pretraining heads
     quantizer: QuantizerConfig = field(default_factory=QuantizerConfig)
     hubert: HubertHeadConfig = field(default_factory=HubertHeadConfig)
+
+    # speaker identification head (s2c fine-tune)
+    sid: SIDConfig = field(default_factory=SIDConfig)
 
     # ctc head over encoder output shares the text embedding when True
     share_ctc_embed: bool = False
@@ -264,6 +286,23 @@ def speecht5_base_asr(**kw) -> SpeechT5Config:
         ),
         max_text_positions=600,
         feature_grad_mult=0.0,
+    )
+    return replace(cfg, **kw)
+
+
+def speecht5_base_sid(num_classes: int = 1251, **kw) -> SpeechT5Config:
+    """SID fine-tune preset (reference SpeechT5/README.md:606-652): base arch,
+    no masking, decoder pooling, plain softmax head without BN/embedding."""
+    cfg = speecht5_base_asr()
+    cfg = replace(
+        cfg,
+        masking=MaskingConfig(mask_prob=0.0, mask_channel_prob=0.0),
+        max_speech_positions=8000,
+        share_input_output_embed=True,
+        feature_grad_mult=1.0,
+        sid=SIDConfig(
+            num_classes=num_classes, no_pooling_bn=True, no_embed_postnet=True
+        ),
     )
     return replace(cfg, **kw)
 

@@ -222,6 +222,146 @@ class TextToSpeechDataset:
 
 
 @dataclass
+class SpeechToClassDataset:
+    """SID: waveform source, one class id per utterance (reference
+    data/speech_to_class_dataset.py:24-200; manifest rows are
+    "wav_path\\tnframes\\tclass_label")."""
+
+    manifest: str
+    class_map: Optional[Dict[str, int]] = None  # label -> id; built if None
+    normalize: bool = False
+    max_sample_size: Optional[int] = None
+
+    def __post_init__(self):
+        self.names, self.sizes, self.labels = [], [], []
+        with open(self.manifest, encoding="utf-8") as f:
+            self.root = f.readline().strip()
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 3:
+                    continue
+                self.names.append(parts[0])
+                self.sizes.append(int(parts[1]))
+                self.labels.append(parts[2])
+        self.sizes = np.asarray(self.sizes, np.int64)
+        if self.class_map is None:
+            self.class_map = {
+                c: i for i, c in enumerate(sorted(set(self.labels)))
+            }
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_map)
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> Dict:
+        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        if self.normalize:
+            wav = layer_norm_wav(wav)
+        if self.max_sample_size and len(wav) > self.max_sample_size:
+            # sample a window (reference sample_from_feature)
+            start = np.random.randint(0, len(wav) - self.max_sample_size + 1)
+            wav = wav[start : start + self.max_sample_size]
+        return {"id": i, "wav": wav.astype(np.float32),
+                "label": self.class_map[self.labels[i]]}
+
+    def collate(self, items: List[Dict], bucketed: bool = True
+                ) -> Dict[str, np.ndarray]:
+        B = len(items)
+        wav_len = max(len(it["wav"]) for it in items)
+        if bucketed:
+            wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
+        wav = np.zeros((B, wav_len), np.float32)
+        wav_lengths = np.zeros((B,), np.int32)
+        targets = np.zeros((B,), np.int64)
+        for b, it in enumerate(items):
+            w = it["wav"][:wav_len]
+            wav[b, : len(w)] = w
+            wav_lengths[b] = len(w)
+            targets[b] = it["label"]
+        return {"wav": wav, "wav_lengths": wav_lengths, "targets": targets,
+                "ids": np.asarray([it["id"] for it in items])}
+
+
+@dataclass
+class SpeechToSpeechDataset:
+    """VC/SE: source waveform -> target log-mel + target-speaker x-vector
+    (reference data/speech_to_speech_dataset.py:118-228; manifest rows are
+    "src_wav\\tsrc_nframes\\ttgt_wav\\ttgt_nframes\\ttgt_spkemb")."""
+
+    manifest: str
+    normalize: bool = False
+    reduction_factor: int = 2
+    n_mels: int = 80
+
+    def __post_init__(self):
+        self.src_names, self.sizes = [], []
+        self.tgt_names, self.spkembs = [], []
+        with open(self.manifest, encoding="utf-8") as f:
+            self.root = f.readline().strip()
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 5:
+                    continue
+                self.src_names.append(parts[0])
+                self.sizes.append(int(parts[1]))
+                self.tgt_names.append(parts[2])
+                self.spkembs.append(parts[4])
+        self.sizes = np.asarray(self.sizes, np.int64)
+
+    def __len__(self):
+        return len(self.src_names)
+
+    def __getitem__(self, i: int) -> Dict:
+        wav, _ = read_wav(os.path.join(self.root, self.src_names[i]))
+        if self.normalize:
+            wav = layer_norm_wav(wav)
+        tgt_wav, _ = read_wav(os.path.join(self.root, self.tgt_names[i]))
+        mel = log_mel_numpy(tgt_wav, n_mels=self.n_mels)
+        spkemb = np.load(os.path.join(self.root, self.spkembs[i])).astype(
+            np.float32
+        )
+        return {"id": i, "wav": wav.astype(np.float32), "mel": mel,
+                "spkemb": spkemb}
+
+    def collate(self, items: List[Dict], bucketed: bool = True
+                ) -> Dict[str, np.ndarray]:
+        B = len(items)
+        r = self.reduction_factor
+        wav_len = max(len(it["wav"]) for it in items)
+        mel_len = max(it["mel"].shape[0] for it in items)
+        if bucketed:
+            wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
+            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
+        mel_len -= mel_len % r
+        n_mels = items[0]["mel"].shape[1]
+
+        wav = np.zeros((B, wav_len), np.float32)
+        wav_lengths = np.zeros((B,), np.int32)
+        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
+        dec_lengths = np.zeros((B,), np.int32)
+        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
+        spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
+        for b, it in enumerate(items):
+            w = it["wav"][:wav_len]
+            wav[b, : len(w)] = w
+            wav_lengths[b] = len(w)
+            m = it["mel"][:mel_len]
+            target_mel[b, : len(m)] = m
+            dec_lengths[b] = len(m)
+            thin = m[r - 1 :: r]
+            prev_mel[b, 1 : len(thin)] = thin[:-1]
+            spk[b] = it["spkemb"]
+        return {"wav": wav, "wav_lengths": wav_lengths,
+                "target_mel": target_mel, "dec_lengths": dec_lengths,
+                "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
+                "spkembs": spk,
+                "ids": np.asarray([it["id"] for it in items])}
+
+
+@dataclass
 class SpeechPretrainDataset:
     """HuBERT-style pretraining: waveform + frame-level km labels + fbank
     decoder target (reference data/speech_dataset.py:186-476)."""

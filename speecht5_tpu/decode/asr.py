@@ -78,10 +78,10 @@ class ASRDecoder:
             lprobs = lprobs.at[:, cfg.unk_id].add(-self.unk_penalty)
         return lprobs
 
-    def _step(self, toks_t, step, state):
+    def _step(self, variables, lm_variables, toks_t, step, state):
         cfg = self.cfg
         logits, cache = self.model.apply(
-            self.variables, toks_t, state["cache"],
+            variables, toks_t, state["cache"],
             enc_valid=state["enc_valid"], method="text_decode_step",
         )
         att = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -112,7 +112,7 @@ class ASRDecoder:
 
         if self.lm is not None and self.lm_weight != 0.0:
             lm_logits, lm_cache = self.lm.apply(
-                self.lm_variables, toks_t, state["lm_cache"],
+                lm_variables, toks_t, state["lm_cache"],
                 method="decode_step",
             )
             lprobs = lprobs + self.lm_weight * jax.nn.log_softmax(
@@ -123,7 +123,7 @@ class ASRDecoder:
         lprobs = self._suppress(lprobs)
         return lprobs, state
 
-    def _select(self, state, tok):
+    def _select(self, variables, state, tok):
         if self.ctc_weight <= 0:
             return state
         cs = state["ctc"]
@@ -138,13 +138,17 @@ class ASRDecoder:
 
     # ------------------------------------------------------------------ decode
 
-    def _decode_impl(self, wav, wav_lengths, batch_size: int):
+    def _decode_impl(self, variables, lm_variables, wav, wav_lengths,
+                     batch_size: int):
+        # ``variables`` is a jit ARGUMENT, never a closure: closed-over params
+        # would be baked into the HLO as literal constants — a multi-hundred-MB
+        # program that remote-compile backends reject outright.
         cfg = self.cfg
         B, K = batch_size, self.beam_size
         N = B * K
 
         enc = self.model.apply(
-            self.variables, wav, wav_lengths,
+            variables, wav, wav_lengths,
             with_ctc=self.ctc_weight > 0, method="encode_speech",
         )
         enc_tiled = {
@@ -152,7 +156,7 @@ class ASRDecoder:
             "valid_mask": _tile_rows(enc["valid_mask"], K),
         }
         cache = self.model.apply(
-            self.variables, enc_tiled, N, self.max_len + 1,
+            variables, enc_tiled, N, self.max_len + 1,
             method="init_text_cache",
         )
         state = {
@@ -173,11 +177,11 @@ class ASRDecoder:
             state["ctc_empty"] = jnp.ones((N,), bool)
         if self.lm is not None and self.lm_weight != 0.0:
             state["lm_cache"] = self.lm.apply(
-                self.lm_variables, N, self.max_len + 1, method="init_cache"
+                lm_variables, N, self.max_len + 1, method="init_cache"
             )
 
         return beam_search(
-            self._step,
+            functools.partial(self._step, variables, lm_variables),
             state,
             batch_size=B,
             beam_size=K,
@@ -186,12 +190,15 @@ class ASRDecoder:
             eos_id=cfg.eos_id,
             length_penalty=self.length_penalty,
             min_len=self.min_len,
-            select_fn=self._select,
+            select_fn=functools.partial(self._select, variables),
         )
 
     def __call__(self, wav, wav_lengths) -> BeamResult:
         """wav: [B, T] raw waveform; returns BeamResult (tokens/scores/lengths)."""
-        return self._decode(wav, wav_lengths, batch_size=wav.shape[0])
+        return self._decode(
+            self.variables, self.lm_variables, wav, wav_lengths,
+            batch_size=wav.shape[0],
+        )
 
 
 def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:

@@ -46,26 +46,27 @@ class TTSDecoder:
         self.max_len_ratio = max_len_ratio
         self.min_len_ratio = min_len_ratio
         self.max_steps = max_frames // self.cfg.reduction_factor
-        self._decode_text = jax.jit(lambda tokens, spk, rng: self._run(
-            self.model.apply(self.variables, tokens, method="encode_text"),
-            spk, rng,
+        # variables are jit ARGUMENTS (closed-over params would be inlined as
+        # HLO constants — fatal for remote-compile backends on big models)
+        self._decode_text = jax.jit(lambda v, tokens, spk, rng: self._run(
+            v, self.model.apply(v, tokens, method="encode_text"), spk, rng,
         ))
-        self._decode_speech = jax.jit(lambda wav, lengths, spk, rng: self._run(
-            self.model.apply(self.variables, wav, lengths, method="encode_speech"),
+        self._decode_speech = jax.jit(lambda v, wav, lengths, spk, rng: self._run(
+            v, self.model.apply(v, wav, lengths, method="encode_speech"),
             spk, rng,
         ))
 
     def text_to_speech(self, tokens, spkembs=None, rng=None) -> TTSResult:
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._decode_text(tokens, spkembs, rng)
+        return self._decode_text(self.variables, tokens, spkembs, rng)
 
     def speech_to_speech(self, wav, wav_lengths, spkembs=None, rng=None) -> TTSResult:
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._decode_speech(wav, wav_lengths, spkembs, rng)
+        return self._decode_speech(self.variables, wav, wav_lengths, spkembs, rng)
 
     # ------------------------------------------------------------------ loop
 
-    def _run(self, enc, spkembs, rng):
+    def _run(self, variables, enc, spkembs, rng):
         cfg = self.cfg
         r = cfg.reduction_factor
         B = enc["encoder_out"].shape[0]
@@ -82,7 +83,7 @@ class TTSDecoder:
         ).astype(jnp.int32)
 
         cache = self.model.apply(
-            self.variables, enc, B, S + 1, method="init_speech_cache"
+            variables, enc, B, S + 1, method="init_speech_cache"
         )
 
         mel_buf = jnp.zeros((B, S * r, n_mels), jnp.float32)
@@ -99,7 +100,7 @@ class TTSDecoder:
             step, prev, cache, mel_buf, prob_buf, done, lengths, rng = carry
             rng, sub = jax.random.split(rng)
             frames, probs, cache = self.model.apply(
-                self.variables, prev, cache,
+                variables, prev, cache,
                 spkembs=spkembs, enc_valid=enc["valid_mask"],
                 method="speech_decode_step",
                 rngs={"prenet": sub},
@@ -128,7 +129,7 @@ class TTSDecoder:
         lengths = jnp.where(done, lengths, step * r)
 
         mel_after = self.model.apply(
-            self.variables, mel_buf, method="postnet_refine"
+            variables, mel_buf, method="postnet_refine"
         )
         return TTSResult(
             mel=mel_after, mel_before=mel_buf, lengths=lengths,

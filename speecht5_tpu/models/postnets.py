@@ -192,7 +192,16 @@ class SpeechEncoderPostnet(nn.Module):
 
 
 class SpeakerDecoderPostnet(nn.Module):
-    """x-vector style SID head with optional AM/AAM margin softmax."""
+    """x-vector style SID head with optional AM/AAM margin softmax.
+
+    Mirrors reference modules/speaker_decoder_postnet.py:129-200: optional
+    BatchNorm on the pooled features (``no_pooling_bn``), optional linear
+    embedding + BatchNorm (``no_embed_postnet`` — the SID recipe at
+    SpeechT5/README.md:649-650 disables both), cosine classifier when a margin
+    softmax or ``normalize_postnet`` is set.  The margin transform and its
+    scale apply only at train time with a target (reference
+    speaker_decoder_postnet.py:16-127 AngularMargin/AdditiveAngularMargin).
+    """
 
     embed_dim: int
     class_num: int
@@ -200,38 +209,49 @@ class SpeakerDecoderPostnet(nn.Module):
     margin: float = 0.0
     scale: float = 1.0
     easy_margin: bool = False
+    no_pooling_bn: bool = False
+    no_embed_postnet: bool = False
+    normalize_postnet: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, target_onehot=None, deterministic: bool = True):
         """x: [B, D] pooled decoder output -> (logits [B, C], embed [B, E])."""
-        x = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn_pooling",
-        )(x)
-        embed = nn.Dense(
-            self.embed_dim, use_bias=False, dtype=jnp.float32,
-            param_dtype=self.param_dtype, name="output_embedding",
-        )(x)
-        embed = nn.BatchNorm(
-            use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn_embedding",
-        )(embed)
+        x = x.astype(jnp.float32)
+        if not self.no_pooling_bn:
+            x = nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="bn_pooling",
+            )(x)
+        if not self.no_embed_postnet:
+            embed = nn.Dense(
+                self.embed_dim, use_bias=False, dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.normal(self.embed_dim ** -0.5),
+                name="output_embedding",
+            )(x)
+            embed = nn.BatchNorm(
+                use_running_average=deterministic, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="bn_embedding",
+            )(embed)
+        else:
+            embed = x
         w = self.param(
             "projection_weight",
             nn.initializers.normal(stddev=self.class_num ** -0.5),
-            (self.class_num, self.embed_dim),
+            (self.class_num, embed.shape[-1]),
             self.param_dtype,
         )
-        if self.softmax_type in ("amsoftmax", "aamsoftmax"):
+        use_margin = self.softmax_type in ("amsoftmax", "aamsoftmax")
+        if use_margin or self.normalize_postnet:
             xn = embed / jnp.maximum(jnp.linalg.norm(embed, axis=-1, keepdims=True), 1e-12)
             wn = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
             cosine = xn @ wn.T
             out = cosine
-            if target_onehot is not None and not deterministic:
+            if use_margin and target_onehot is not None and not deterministic:
                 if self.softmax_type == "amsoftmax":
-                    out = cosine - self.margin * target_onehot
+                    out = self.scale * (cosine - self.margin * target_onehot)
                 else:
                     import math
 
@@ -244,8 +264,9 @@ class SpeakerDecoderPostnet(nn.Module):
                         phi = jnp.where(cosine > 0, phi, cosine)
                     else:
                         phi = jnp.where(cosine > th, phi, cosine - mm)
-                    out = target_onehot * phi + (1.0 - target_onehot) * cosine
-            out = self.scale * out
+                    out = self.scale * (
+                        target_onehot * phi + (1.0 - target_onehot) * cosine
+                    )
         else:
             out = embed @ w.T
         return out, embed

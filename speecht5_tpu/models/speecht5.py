@@ -84,6 +84,16 @@ class SpeechT5Model(nn.Module):
         self.speech_decoder_prenet = SpeechDecoderPrenet(cfg, dt, pt)
         self.speech_decoder_postnet = SpeechDecoderPostnet(cfg, dt, pt)
         self.speech_encoder_postnet = SpeechEncoderPostnet(cfg, dt, pt)
+        if cfg.sid.num_classes > 0:
+            s = cfg.sid
+            self.speaker_decoder_postnet = SpeakerDecoderPostnet(
+                embed_dim=s.embed_dim, class_num=s.num_classes,
+                softmax_type=s.softmax_type, margin=s.margin, scale=s.scale,
+                easy_margin=s.easy_margin, no_pooling_bn=s.no_pooling_bn,
+                no_embed_postnet=s.no_embed_postnet,
+                normalize_postnet=s.normalize_postnet,
+                dtype=dt, param_dtype=pt,
+            )
         if cfg.quantizer.enabled:
             vq_dim = cfg.quantizer.latent_dim or cfg.d_model
             self.quantizer = GumbelVectorQuantizer(
@@ -107,6 +117,8 @@ class SpeechT5Model(nn.Module):
         (linen setup is lazy; individual task forwards only create their slice)."""
         enc = self.encode_speech(wav, wav_lengths, mask=True, with_ctc=True)
         _ = self.hubert_logits(enc)
+        if self.cfg.sid.num_classes > 0:
+            _ = self._sid_head(enc)
         if self.cfg.quantizer.enabled:
             enc, _ = self.apply_codebook(enc)
         _ = self.decode_text(enc, prev_tokens)
@@ -266,12 +278,63 @@ class SpeechT5Model(nn.Module):
 
     def forward_s2s(self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None, *,
                     deterministic=False):
+        """VC/SE training: returns (before, after, stop_logits, attn, enc_valid).
+        enc_valid is needed for the guided-attention loss (the encoder length
+        is in conv-downsampled frames, not raw samples)."""
         enc = self.encode_speech(wav, wav_lengths, mask=False,
                                  deterministic=deterministic)
-        return self.decode_speech(
+        before, after, stop_logits, attn = self.decode_speech(
             enc, prev_mel, tgt_lengths, spkembs,
             deterministic=deterministic, need_attn=True,
         )
+        return before, after, stop_logits, attn, enc["valid_mask"]
+
+    def _sid_head(self, enc, target_onehot=None, deterministic=True):
+        """Pool encoder/decoder output and apply the speaker postnet
+        (reference speecht5.py:836-842, 925-933)."""
+        cfg = self.cfg
+        if cfg.sid.pooling == "encoder":
+            m = enc["valid_mask"].astype(jnp.float32)
+            pooled = (enc["encoder_out"] * m[:, :, None]).sum(1) / jnp.maximum(
+                m.sum(1), 1.0
+            )[:, None]
+        elif cfg.sid.pooling == "encoder-cls":
+            pooled = enc["encoder_out"][:, 0]
+        else:  # "decoder": zero [CLS] vector through the decoder, mean-pool
+            B = enc["encoder_out"].shape[0]
+            # reference zeroes the embedded prev_output_tokens ([eos]) AFTER
+            # the text decoder prenet (speecht5.py:896-898): a zero vector CLS
+            x = jnp.zeros((B, 1, cfg.decoder.d_model), cfg.compute_dtype)
+            feats, _ = self.decoder(
+                x, enc["encoder_out"], enc_valid=enc["valid_mask"],
+                self_valid=jnp.ones((B, 1), bool), deterministic=deterministic,
+            )
+            pooled = feats.mean(axis=1)
+        return self.speaker_decoder_postnet(
+            pooled, target_onehot, deterministic=deterministic
+        )
+
+    def forward_s2c(self, wav, wav_lengths, targets=None, *, mask=False,
+                    deterministic=False):
+        """SID training forward: returns (logits [B, C], embed [B, E]).
+
+        ``targets``: [B] int class ids; one-hot is built here for the margin
+        softmax (reference speecht5.py:805-808).
+        """
+        enc = self.encode_speech(
+            wav, wav_lengths, mask=mask, deterministic=deterministic
+        )
+        onehot = None
+        if targets is not None and self.cfg.sid.softmax_type != "softmax":
+            onehot = jax.nn.one_hot(targets, self.cfg.sid.num_classes)
+        return self._sid_head(enc, onehot, deterministic=deterministic)
+
+    def generate_class(self, wav, wav_lengths):
+        """SID inference (reference speecht5.py:1171-1186): argmax class ids [B]."""
+        logits, _ = self.forward_s2c(
+            wav, wav_lengths, mask=False, deterministic=True
+        )
+        return jnp.argmax(logits, axis=-1)
 
     def forward_pretrain_speech(
         self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None, *,

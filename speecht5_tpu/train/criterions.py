@@ -81,6 +81,22 @@ def s2t_loss(
     return loss, metrics
 
 
+def sid_loss(logits, targets, label_smoothing: float = 0.0):
+    """SID (s2c) classification loss: label-smoothed CE over speaker classes +
+    accuracy.  The reference routes s2c through SpeechtoTextLoss's CE
+    (criterions/speecht5_criterion.py:113, speech_to_text_loss.py:186-209);
+    the AM/AAM margin is applied inside the model forward, not here.
+
+    logits: [B, C] f32; targets: [B] int class ids.
+    """
+    valid = jnp.ones(targets.shape, bool)
+    ce, nll = label_smoothed_ce(
+        logits.astype(jnp.float32), targets, valid, label_smoothing
+    )
+    acc = (logits.argmax(-1) == targets).mean()
+    return ce, {"loss": ce, "nll_loss": nll, "accuracy": acc}
+
+
 def guided_attention_loss(attn, enc_lengths, dec_lengths, sigma: float = 0.4,
                           num_layers: int = 2, num_heads: int = 2):
     """espnet GuidedAttentionLoss over cross-attention maps.

@@ -155,6 +155,42 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         )
         return loss, (metrics, {**extra, **updates})
 
+    def s2s(params, extra, batch, rng, step):
+        variables = {"params": params, **extra}
+        rngs = {"dropout": rng, "prenet": jax.random.fold_in(rng, 1),
+                "layerdrop": jax.random.fold_in(rng, 2)}
+        out, updates = model.apply(
+            variables, batch["wav"], batch["wav_lengths"], batch["prev_mel"],
+            batch["dec_lengths_r"], batch.get("spkembs"),
+            deterministic=False, rngs=rngs, mutable=["batch_stats"],
+            method="forward_s2s",
+        )
+        before, after, stop_logits, attn, enc_valid = out
+        enc_lengths = enc_valid.astype(jnp.int32).sum(-1)
+        loss, metrics = criterions.tts_loss(
+            before, after, stop_logits, batch["target_mel"],
+            batch["dec_lengths"],
+            reduction_factor=mcfg.reduction_factor,
+            attn=attn, enc_lengths=enc_lengths,
+            use_guided_attn=cfg.use_guided_attn,
+        )
+        return loss, (metrics, {**extra, **updates})
+
+    def s2c(params, extra, batch, rng, step):
+        variables = {"params": params, **extra}
+        rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1),
+                "layerdrop": jax.random.fold_in(rng, 2)}
+        out, updates = model.apply(
+            variables, batch["wav"], batch["wav_lengths"], batch["targets"],
+            mask=False, deterministic=False, rngs=rngs,
+            mutable=["batch_stats"], method="forward_s2c",
+        )
+        logits, _embed = out
+        loss, metrics = criterions.sid_loss(
+            logits, batch["targets"], label_smoothing=cfg.label_smoothing
+        )
+        return loss, (metrics, {**extra, **updates})
+
     def pretrain_text(params, extra, batch, rng, step):
         variables = {"params": params, **extra}
         rngs = {"dropout": rng, "layerdrop": jax.random.fold_in(rng, 1),
@@ -171,7 +207,8 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         )
         return loss, (metrics, extra)
 
-    return {"s2t": s2t, "t2s": t2s, "pretrain_speech": pretrain_speech,
+    return {"s2t": s2t, "t2s": t2s, "s2s": s2s, "s2c": s2c,
+            "pretrain_speech": pretrain_speech,
             "pretrain_text": pretrain_text}[task]
 
 

