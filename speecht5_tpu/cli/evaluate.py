@@ -1,0 +1,176 @@
+"""Evaluation entry point: checkpoint -> decoder -> WER / accuracy / MCD.
+
+Replaces fairseq-generate + the reference eval scripts
+(scripts/generate_speech.py, scripts/generate_class.py, README decode recipes
+at SpeechT5/README.md:213-246) with one batched, jitted path per task:
+- s2t: joint CTC/attention beam search -> corpus WER (letter labels)
+- s2c: batched classification -> accuracy
+- t2s/s2s: AR mel decode (+ optional vocoder) -> MCD vs ground-truth mel,
+  mel .npy dumps
+
+Usage:
+    python -m speecht5_tpu.cli.evaluate --task s2t --arch speecht5_base_asr \
+        --manifest test.tsv --labels test.ltr --dict dict.ltr.txt \
+        --ckpt ckpt/ --beam 5 --ctc-weight 0.3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from .train import build_dataset
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", required=True,
+                   choices=["s2t", "t2s", "s2s", "s2c"])
+    p.add_argument("--arch", default="speecht5_base")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--labels", default=None)
+    p.add_argument("--dict", dest="dict_path", default=None)
+    p.add_argument("--spkemb-dir", default=None)
+    p.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--max-len", type=int, default=256)
+    p.add_argument("--ctc-weight", type=float, default=0.0)
+    p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--max-sample-size", type=int, default=None)
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--results-path", default=None)
+    p.add_argument("--vocab-size", type=int, default=None)
+    args = p.parse_args(argv)
+    args.max_tokens = 0  # build_dataset compat
+
+    import jax
+    import jax.numpy as jnp
+    from .. import config as C
+    from ..data.dictionary import Dictionary, letters_to_text
+    from ..models.speecht5 import init_model
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.metrics import corpus_wer, mcd
+
+    dictionary = None
+    cfg_kw = {"dtype": args.dtype}
+    if args.dict_path:
+        dictionary = Dictionary.load(
+            args.dict_path, extra_special_symbols=["<mask>", "<ctc_blank>"]
+        )
+        cfg_kw["vocab_size"] = len(dictionary)
+        cfg_kw["blank_id"] = dictionary.index("<ctc_blank>")
+    elif args.vocab_size:
+        cfg_kw["vocab_size"] = args.vocab_size
+
+    preset = getattr(C, args.arch)
+    cfg = preset(**cfg_kw)
+    ds = build_dataset(args, dictionary, cfg)
+    if args.task == "s2c" and cfg.sid.num_classes != ds.num_classes:
+        cfg = C.replace(cfg, sid=C.replace(cfg.sid, num_classes=ds.num_classes))
+
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(args.ckpt)
+    restored, step = mgr.restore_model(variables)
+    if restored is None:
+        raise SystemExit(f"no checkpoint found in {args.ckpt}")
+    variables = restored
+    print(f"loaded checkpoint step {step}", flush=True)
+
+    if args.results_path:
+        os.makedirs(args.results_path, exist_ok=True)
+
+    t0 = time.time()
+    n = len(ds)
+    order = list(range(n))
+    result = {}
+
+    if args.task == "s2t":
+        from ..decode.asr import ASRDecoder
+
+        dec = ASRDecoder(
+            model, variables, beam_size=args.beam, max_len=args.max_len,
+            ctc_weight=args.ctc_weight,
+        )
+        refs, hyps = [], []
+        for s in range(0, n, args.batch_size):
+            idxs = order[s : s + args.batch_size]
+            items = [ds[i] for i in idxs]
+            batch = ds.collate(items, cfg.eos_id, cfg.pad_id)
+            res = dec(jnp.asarray(batch["wav"]),
+                      jnp.asarray(batch["wav_lengths"]))
+            toks = np.asarray(res.tokens)[:, 0]
+            lens = np.asarray(res.lengths)[:, 0]
+            for b, i in enumerate(idxs):
+                hyp_ids = toks[b, 1 : max(int(lens[b]) - 1, 1)]
+                hyp = letters_to_text(dictionary.string(hyp_ids))
+                ref = letters_to_text(ds.label_lines[i])
+                hyps.append(hyp)
+                refs.append(ref)
+        result = {"metric": "wer", "value": corpus_wer(refs, hyps),
+                  "n_utts": n}
+        if args.results_path:
+            with open(os.path.join(args.results_path, "hyps.txt"), "w") as f:
+                f.write("\n".join(hyps) + "\n")
+            with open(os.path.join(args.results_path, "refs.txt"), "w") as f:
+                f.write("\n".join(refs) + "\n")
+
+    elif args.task == "s2c":
+        from ..decode.sid import SIDClassifier
+
+        clf = SIDClassifier(model, variables)
+        correct = 0
+        for s in range(0, n, args.batch_size):
+            idxs = order[s : s + args.batch_size]
+            items = [ds[i] for i in idxs]
+            batch = ds.collate(items)
+            pred = np.asarray(clf(jnp.asarray(batch["wav"]),
+                                  jnp.asarray(batch["wav_lengths"])))
+            correct += int((pred == batch["targets"]).sum())
+        result = {"metric": "accuracy", "value": correct / max(n, 1),
+                  "n_utts": n}
+
+    else:  # t2s / s2s
+        from ..decode.tts import TTSDecoder
+
+        tts = TTSDecoder(model, variables)
+        mcds = []
+        for s in range(0, n, args.batch_size):
+            idxs = order[s : s + args.batch_size]
+            items = [ds[i] for i in idxs]
+            if args.task == "t2s":
+                batch = ds.collate(items, cfg.eos_id, cfg.pad_id)
+                out = tts.text_to_speech(
+                    jnp.asarray(batch["tokens"]),
+                    jnp.asarray(batch["spkembs"]) if "spkembs" in batch else None,
+                )
+            else:
+                batch = ds.collate(items)
+                out = tts.speech_to_speech(
+                    jnp.asarray(batch["wav"]),
+                    jnp.asarray(batch["wav_lengths"]),
+                    jnp.asarray(batch["spkembs"]),
+                )
+            mel = np.asarray(out.mel)
+            lens = np.asarray(out.lengths)
+            for b, i in enumerate(idxs):
+                hyp_mel = mel[b, : int(lens[b])]
+                ref_mel = items[b]["mel"]
+                mcds.append(mcd(ref_mel, hyp_mel))
+                if args.results_path:
+                    np.save(os.path.join(args.results_path, f"{i}.npy"),
+                            hyp_mel)
+        result = {"metric": "mcd", "value": float(np.mean(mcds)), "n_utts": n}
+
+    result["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()

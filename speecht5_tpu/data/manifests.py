@@ -86,7 +86,9 @@ def batch_by_size(
     return batches
 
 
-AUDIO_BUCKETS = tuple(int(16000 * s) for s in (2, 4, 6, 8, 10, 13, 16, 20, 25, 30))
+AUDIO_BUCKETS = tuple(
+    int(16000 * s) for s in (0.25, 0.5, 1, 2, 4, 6, 8, 10, 13, 16, 20, 25, 30)
+)
 TOKEN_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512, 600)
 FRAME_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3000)
 

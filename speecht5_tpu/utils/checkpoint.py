@@ -40,11 +40,17 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state, data_state: Optional[dict] = None):
+    def save(self, step: int, state, data_state: Optional[dict] = None,
+             model: Optional[dict] = None):
+        """``model``: a plain variables dict (params + batch_stats) saved as a
+        separate item so inference can restore weights without rebuilding the
+        optimizer state template."""
         ocp = _ocp()
         items = {"state": ocp.args.StandardSave(state)}
         if data_state is not None:
             items["data"] = ocp.args.JsonSave(data_state)
+        if model is not None:
+            items["model"] = ocp.args.StandardSave(model)
         self.mngr.save(step, args=ocp.args.Composite(**items))
 
     def restore(self, state_template, step: Optional[int] = None):
@@ -67,6 +73,20 @@ class CheckpointManager:
         except Exception:
             pass
         return restored["state"], data, step
+
+    def restore_model(self, variables_template, step: Optional[int] = None):
+        """Restore just the weights item saved via ``save(..., model=...)``."""
+        ocp = _ocp()
+        step = step if step is not None else self.mngr.latest_step()
+        if step is None:
+            return None, None
+        restored = self.mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                model=ocp.args.StandardRestore(variables_template),
+            ),
+        )
+        return restored["model"], step
 
     def wait(self):
         self.mngr.wait_until_finished()

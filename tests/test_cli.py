@@ -1,0 +1,95 @@
+"""End-to-end CLI integration: train overfits a tiny model on synthetic
+utterances, evaluate beam-decodes them to low WER.  This is the integration
+oracle the reference only had as README recipes (SpeechT5/README.md:80-246)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speecht5_tpu.data.audio import write_wav
+
+
+N_UTTS = 24
+WORDS = ["HELLO", "WORLD", "ALOHA", "DATA", "RADAR", "LOL", "HAT", "DOLL"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """24 synthetic utterances; each utterance's waveform encodes its word
+    identity as a deterministic band-limited signature so wav->text is
+    learnable."""
+    tmp = tmp_path_factory.mktemp("cli")
+    root = tmp / "audio"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    labels = []
+    n = 4000
+    rows = []
+    for i in range(N_UTTS):
+        w = WORDS[i % len(WORDS)]
+        # word-keyed signature + small noise
+        t = np.arange(n) / 16000.0
+        f = 200.0 + 120.0 * (i % len(WORDS))
+        wav = 0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(n)
+        write_wav(str(root / f"u{i}.wav"), wav)
+        rows.append(f"u{i}.wav\t{n}")
+        labels.append(" ".join(list(w)) + " |")
+    with open(tmp / "train.tsv", "w") as fh:
+        fh.write(str(root) + "\n" + "\n".join(rows) + "\n")
+    with open(tmp / "train.ltr", "w") as fh:
+        fh.write("\n".join(labels) + "\n")
+    letters = sorted(set("".join(WORDS))) + ["|"]
+    with open(tmp / "dict.ltr.txt", "w") as fh:
+        for s in letters:
+            fh.write(f"{s} 100\n")
+    return tmp
+
+
+@pytest.mark.slow
+def test_train_then_evaluate_overfit(corpus):
+    from speecht5_tpu.cli.train import main as train_main
+    from speecht5_tpu.cli.evaluate import main as eval_main
+
+    save = corpus / "ckpt"
+    common = [
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+    ]
+    train_main(common + [
+        "--task", "s2t", "--save-dir", str(save),
+        "--max-updates", "240", "--batch-size", "8",
+        "--lr", "2e-3", "--warmup", "40", "--mask-prob", "0",
+        "--label-smoothing", "0", "--save-interval", "240",
+        "--log-interval", "80",
+    ])
+    result = eval_main(common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--beam", "2", "--max-len", "10", "--batch-size", "8",
+    ])
+    assert result["metric"] == "wer"
+    assert result["n_utts"] == N_UTTS
+    assert result["value"] < 0.10, f"overfit WER too high: {result}"
+
+
+def test_train_resume(corpus):
+    """Checkpoint/resume: a second invocation picks up at the saved step."""
+    from speecht5_tpu.cli.train import main as train_main
+
+    save = corpus / "ckpt_resume"
+    argv = [
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+        "--task", "s2t", "--save-dir", str(save),
+        "--batch-size", "8", "--mask-prob", "0",
+        "--save-interval", "8", "--log-interval", "100",
+    ]
+    train_main(argv + ["--max-updates", "8"])
+    assert os.path.isdir(save / "8")
+    train_main(argv + ["--max-updates", "16"])
+    assert os.path.isdir(save / "16")
