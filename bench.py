@@ -1,29 +1,54 @@
-"""Benchmark: SpeechT5-Base ASR decode throughput on one TPU chip.
+"""Benchmark: SpeechT5-Base inference throughput on one TPU chip.
 
-Measures the full inference path — waveform -> conv prenet -> 12-layer encoder
-(+CTC head) -> jitted joint CTC/attention beam search (beam 5) with KV cache —
-as multiples of realtime audio per chip.  BASELINE.json north star: >= 50x
-realtime at parity WER (the reference publishes no speed numbers and its joint
-CTC decode is batch=1 with per-step CPU hops; here the whole batch decodes in
-one device program).
+Primary metric: ASR decode throughput — waveform -> conv prenet -> 12-layer
+encoder (+CTC head) -> jitted joint CTC/attention beam search (beam 5) with KV
+cache — as multiples of realtime audio per chip.  BASELINE.json north star:
+>= 50x realtime (the reference's joint CTC decode is batch=1 with per-step CPU
+hops through espnet CTCPrefixScore, reference sequence_generator.py:346-654;
+here the whole batch decodes in one device program).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary: TTS autoregressive mel decode RTF (reference generate_speech loop,
+models/speecht5.py:1222-1245, is O(T^2) batch=1; here a lax.while_loop with a
+causal per-frame prenet).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Phase timestamps go to stderr so a timeout is diagnosable from the artifact.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+T0 = time.time()
+
+
+def ph(name):
+    print(f"[bench {time.time()-T0:7.1f}s] {name}", file=sys.stderr, flush=True)
+
 
 def main():
+    ph("start")
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
+
+    ph(f"devices: {jax.devices()}")
 
     from speecht5_tpu.config import speecht5_base_asr
     from speecht5_tpu.models.speecht5 import init_model
     from speecht5_tpu.decode.asr import ASRDecoder
+    from speecht5_tpu.decode.tts import TTSDecoder
 
+    # ---------------------------------------------------------------- ASR
     BATCH = 8
     AUDIO_SECONDS = 10.0
     SR = 16000
@@ -35,6 +60,8 @@ def main():
 
     cfg = speecht5_base_asr(dtype="bfloat16", vocab_size=896)
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+    ph("init_model done")
 
     decoder = ASRDecoder(
         model, variables, beam_size=BEAM, max_len=MAX_LEN,
@@ -45,9 +72,9 @@ def main():
     wav = jnp.asarray(rng.standard_normal((BATCH, T)), jnp.float32) * 0.05
     lengths = jnp.full((BATCH,), T, jnp.int32)
 
-    # compile
     res = decoder(wav, lengths)
     jax.block_until_ready(res.tokens)
+    ph("ASR beam decode compiled")
 
     iters = 3
     t0 = time.perf_counter()
@@ -55,14 +82,45 @@ def main():
         res = decoder(wav, lengths)
         jax.block_until_ready(res.tokens)
     dt = (time.perf_counter() - t0) / iters
-
     realtime_x = BATCH * AUDIO_SECONDS / dt
-    print(json.dumps({
+    ph(f"ASR steady {dt*1000:.1f}ms/batch -> {realtime_x:.0f}x realtime")
+
+    # ---------------------------------------------------------------- TTS
+    tts_rtf = None
+    try:
+        TTS_BATCH, TOK = 4, 64
+        MAX_FRAMES = 512
+        tts = TTSDecoder(
+            model, variables, max_frames=MAX_FRAMES,
+            min_len_ratio=3.9, max_len_ratio=4.0,  # force ~256 steps on random
+        )
+        tokens = jnp.full((TTS_BATCH, TOK), 5, jnp.int32)
+        spk = jnp.zeros((TTS_BATCH, cfg.spk_embed_dim), jnp.float32)
+        out = tts.text_to_speech(tokens, spk)
+        jax.block_until_ready(out.mel)
+        ph("TTS AR decode compiled")
+        t0 = time.perf_counter()
+        out = tts.text_to_speech(tokens, spk)
+        jax.block_until_ready(out.mel)
+        tts_dt = time.perf_counter() - t0
+        frames = int(np.asarray(out.lengths).min())
+        audio_s = frames * 256 / SR  # hop 256 @ 16k
+        tts_rtf = tts_dt / max(TTS_BATCH * audio_s, 1e-6)
+        ph(f"TTS steady {tts_dt*1000:.1f}ms for {frames} frames/utt "
+           f"-> RTF {tts_rtf:.4f} (batch {TTS_BATCH})")
+    except Exception as e:  # TTS is secondary; never lose the ASR number
+        ph(f"TTS bench failed: {e!r}")
+
+    out = {
         "metric": "speecht5_base_asr_beam5_ctc_decode_throughput",
         "value": round(realtime_x, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(realtime_x / 50.0, 3),
-    }))
+    }
+    if tts_rtf is not None:
+        out["tts_mel_rtf"] = round(tts_rtf, 4)
+        out["tts_rtf_vs_baseline"] = round(0.05 / tts_rtf, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

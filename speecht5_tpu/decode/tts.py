@@ -26,6 +26,8 @@ class TTSResult(NamedTuple):
     mel_before: jnp.ndarray   # [B, L, n_mels]
     lengths: jnp.ndarray      # [B] frames actually generated
     stop_probs: jnp.ndarray   # [B, L]
+    wav: Optional[jnp.ndarray] = None          # [B, L*hop] when a vocoder is set
+    wav_lengths: Optional[jnp.ndarray] = None  # [B] samples
 
 
 class TTSDecoder:
@@ -38,6 +40,8 @@ class TTSDecoder:
         min_len_ratio: float = 0.0,
         threshold: float = 0.5,
         max_frames: int = 1600,        # static output buffer (r-steps bound)
+        vocoder=None,                  # HiFiGANGenerator: mel -> waveform on-TPU
+        vocoder_variables=None,
     ):
         self.model = model
         self.variables = variables
@@ -46,27 +50,35 @@ class TTSDecoder:
         self.max_len_ratio = max_len_ratio
         self.min_len_ratio = min_len_ratio
         self.max_steps = max_frames // self.cfg.reduction_factor
+        self.vocoder = vocoder
+        self.vocoder_variables = vocoder_variables
         # variables are jit ARGUMENTS (closed-over params would be inlined as
         # HLO constants — fatal for remote-compile backends on big models)
-        self._decode_text = jax.jit(lambda v, tokens, spk, rng: self._run(
-            v, self.model.apply(v, tokens, method="encode_text"), spk, rng,
+        self._decode_text = jax.jit(lambda v, vv, tokens, spk, rng: self._run(
+            v, vv, self.model.apply(v, tokens, method="encode_text"), spk, rng,
         ))
-        self._decode_speech = jax.jit(lambda v, wav, lengths, spk, rng: self._run(
-            v, self.model.apply(v, wav, lengths, method="encode_speech"),
-            spk, rng,
-        ))
+        self._decode_speech = jax.jit(
+            lambda v, vv, wav, lengths, spk, rng: self._run(
+                v, vv, self.model.apply(v, wav, lengths, method="encode_speech"),
+                spk, rng,
+            )
+        )
 
     def text_to_speech(self, tokens, spkembs=None, rng=None) -> TTSResult:
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._decode_text(self.variables, tokens, spkembs, rng)
+        return self._decode_text(
+            self.variables, self.vocoder_variables, tokens, spkembs, rng
+        )
 
     def speech_to_speech(self, wav, wav_lengths, spkembs=None, rng=None) -> TTSResult:
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        return self._decode_speech(self.variables, wav, wav_lengths, spkembs, rng)
+        return self._decode_speech(
+            self.variables, self.vocoder_variables, wav, wav_lengths, spkembs, rng
+        )
 
     # ------------------------------------------------------------------ loop
 
-    def _run(self, variables, enc, spkembs, rng):
+    def _run(self, variables, vocoder_variables, enc, spkembs, rng):
         cfg = self.cfg
         r = cfg.reduction_factor
         B = enc["encoder_out"].shape[0]
@@ -131,7 +143,14 @@ class TTSDecoder:
         mel_after = self.model.apply(
             variables, mel_buf, method="postnet_refine"
         )
+        wav = wav_lengths = None
+        if self.vocoder is not None and vocoder_variables is not None:
+            # mel -> waveform inside the same device program (the reference
+            # defers to an external torch HiFi-GAN, README.md:250)
+            wav = self.vocoder.apply(vocoder_variables, mel_after)
+            hop = wav.shape[-1] // mel_after.shape[1]
+            wav_lengths = lengths * hop
         return TTSResult(
             mel=mel_after, mel_before=mel_buf, lengths=lengths,
-            stop_probs=prob_buf,
+            stop_probs=prob_buf, wav=wav, wav_lengths=wav_lengths,
         )

@@ -233,6 +233,84 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray]):
     return params, batch_stats, unknown
 
 
+def _wn_effective(g: np.ndarray, v: np.ndarray, dim: int) -> np.ndarray:
+    """torch weight_norm: w = g * v / ||v|| with the norm over all dims except
+    ``dim`` (g broadcasts along dim)."""
+    axes = tuple(i for i in range(v.ndim) if i != dim)
+    norm = np.sqrt((v.astype(np.float64) ** 2).sum(axis=axes, keepdims=True))
+    return (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+def convert_hifigan_state_dict(sd: Dict[str, np.ndarray]) -> dict:
+    """torch HiFi-GAN generator state dict -> HiFiGANGenerator params.
+
+    Accepts both HF ``microsoft/speecht5_hifigan`` naming (``upsampler.N``,
+    ``mean``/``scale`` buffers) and the original hifigan repo naming
+    (``ups.N``).  Weight-normed convs are converted via the *effective* weight:
+    we store w_eff as weight_v and set weight_g = ||w_eff|| over this module's
+    norm axes, so reconstruction g*v/||v|| == w_eff exactly — lossless and
+    independent of torch's per-module weight_norm dim convention (dim=0 norms
+    per OUT channel for Conv1d but per IN channel for ConvTranspose1d).
+    """
+    params: dict = {}
+
+    def put(path, val):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(val, np.float32)
+
+    def wn_conv(dst, g, v, transposed=False):
+        w = _wn_effective(np.asarray(g, np.float64), np.asarray(v, np.float64),
+                          dim=0)
+        if transposed:
+            # torch ConvTranspose1d weight [in, out, k] -> flax [k, in, out]
+            w = np.transpose(w, (2, 0, 1))
+        else:
+            # torch Conv1d weight [out, in, k] -> flax [k, in, out]
+            w = np.transpose(w, (2, 1, 0))
+        g_out = np.sqrt((w.astype(np.float64) ** 2).sum(axis=(0, 1)))
+        put(dst + ("weight_v",), w)
+        put(dst + ("weight_g",), g_out)
+
+    for key in sd:
+        m = re.match(r"(conv_pre|conv_post)\.(weight_g|weight_v|bias)$", key)
+        if m:
+            name, wb = m.groups()
+            if wb == "bias":
+                put((name, "bias"), sd[key])
+            elif wb == "weight_v":
+                wn_conv((name,), sd[f"{name}.weight_g"], sd[key])
+            continue
+        m = re.match(r"(?:ups|upsampler)\.(\d+)\.(weight_g|weight_v|bias)$", key)
+        if m:
+            i, wb = m.groups()
+            if wb == "bias":
+                put((f"ups_{i}", "bias"), sd[key])
+            elif wb == "weight_v":
+                wn_conv((f"ups_{i}",),
+                        sd[key.replace("weight_v", "weight_g")], sd[key],
+                        transposed=True)
+            continue
+        m = re.match(
+            r"resblocks\.(\d+)\.(convs1|convs2)\.(\d+)\.(weight_g|weight_v|bias)$",
+            key,
+        )
+        if m:
+            n, cs, j, wb = m.groups()
+            dst = (f"resblocks_{n}", f"{cs}_{j}")
+            if wb == "bias":
+                put(dst + ("bias",), sd[key])
+            elif wb == "weight_v":
+                wn_conv(dst, sd[key.replace("weight_v", "weight_g")], sd[key])
+            continue
+        if key in ("mean", "mel_mean"):
+            put(("mel_mean",), sd[key])
+        elif key in ("scale", "mel_scale"):
+            put(("mel_scale",), sd[key])
+    return params
+
+
 def load_fairseq_checkpoint(path: str):
     """Load a fairseq .pt with torch (CPU) and convert.  Returns
     (variables dict, cfg dict from the checkpoint, unknown keys)."""
