@@ -97,6 +97,37 @@ def sid_loss(logits, targets, label_smoothing: float = 0.0):
     return ce, {"loss": ce, "nll_loss": nll, "accuracy": acc}
 
 
+def fasttext2unit_loss(
+    logits,            # [B, Lmax, V] regulated-frame unit logits
+    out_valid,         # bool [B, Lmax]
+    unit_targets,      # [B, Lmax] (pad beyond target length)
+    log_dur_out,       # [B, T]
+    durations,         # [B, T] ground-truth integer durations
+    src_valid,         # bool [B, T]
+    *,
+    label_smoothing: float = 0.0,
+    dur_loss_weight: float = 1.0,
+):
+    """FastText2Unit loss: label-smoothed CE over length-regulated frames +
+    MSE on log(dur+1) (reference speechlm/criterions/fasttext2unit_loss.py:
+    71-115)."""
+    ce, nll = label_smoothed_ce(
+        logits.astype(jnp.float32), unit_targets, out_valid, label_smoothing
+    )
+    log_dur = jnp.log(durations.astype(jnp.float32) + 1.0)
+    sv = src_valid.astype(jnp.float32)
+    dur_mse = ((log_dur_out - log_dur) ** 2 * sv).sum() / jnp.maximum(
+        sv.sum(), 1.0
+    )
+    loss = ce + dur_loss_weight * dur_mse
+    acc = (
+        ((logits.argmax(-1) == unit_targets) & out_valid).sum()
+        / jnp.maximum(out_valid.sum(), 1)
+    )
+    return loss, {"loss": loss, "ce_loss": ce, "nll_loss": nll,
+                  "dur_loss": dur_mse, "accuracy": acc}
+
+
 def guided_attention_loss(attn, enc_lengths, dec_lengths, sigma: float = 0.4,
                           num_layers: int = 2, num_heads: int = 2):
     """espnet GuidedAttentionLoss over cross-attention maps.
