@@ -60,6 +60,9 @@ def main():
                    # hypothesis length (~3 tokens/sec speech) for honest timing
 
     cfg = speecht5_base_asr(dtype="bfloat16", vocab_size=896)
+    x = jnp.zeros((8,))
+    jax.block_until_ready(x)
+    ph("first device op done (backend session up)")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
     ph("init_model done")

@@ -1,0 +1,364 @@
+// Lexicon-constrained CTC beam decoder with word n-gram LM fusion.
+//
+// Role in the stack: the reference's SpeechLM inference decodes CTC emissions
+// with flashlight's C++ LexiconDecoder + KenLM (reference
+// SpeechLM/speechlm/infer.py:29-33,121, config/decode/infer_kenlm.yaml).
+// Neither library exists in this image, so this is an original implementation
+// of the same contract: beam search over CTC posteriors where
+//   - hypotheses are constrained to spellings in a lexicon trie,
+//   - a backoff word n-gram LM (standard ARPA file) scores each completed
+//     word, weighted by lm_weight, plus a flat word_score bonus,
+//   - hypotheses are merged by (trie node, LM state, last emitted token).
+//
+// C ABI consumed via ctypes (speecht5_tpu/decode/lexicon.py), which also
+// carries a numpy reference implementation used for parity tests.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double NEG_INF = -1e30;
+
+inline double log_add(double a, double b) {
+    if (a <= NEG_INF) return b;
+    if (b <= NEG_INF) return a;
+    double m = std::max(a, b);
+    return m + std::log1p(std::exp(std::min(a, b) - m));
+}
+
+// ---------------------------------------------------------------- ARPA LM
+// Backoff n-gram LM over word ids.  Probabilities and backoffs are log10 in
+// the file; stored as natural log here (KenLM reports log10 — callers of this
+// library get natural-log scores, matching the rest of the stack).
+struct NGramLM {
+    // key: word-id sequence packed into a string of int32
+    std::unordered_map<std::string, std::pair<float, float>> grams;  // (logp, backoff)
+    std::unordered_map<std::string, int32_t> vocab;
+    int order = 0;
+
+    static std::string key(const std::vector<int32_t>& ids) {
+        return std::string(reinterpret_cast<const char*>(ids.data()),
+                           ids.size() * sizeof(int32_t));
+    }
+
+    int32_t word_id(const std::string& w) const {
+        auto it = vocab.find(w);
+        if (it != vocab.end()) return it->second;
+        auto u = vocab.find("<unk>");
+        return u != vocab.end() ? u->second : -1;
+    }
+
+    bool load(const char* path) {
+        std::ifstream f(path);
+        if (!f) return false;
+        std::string line;
+        int cur_order = 0;
+        const double ln10 = std::log(10.0);
+        while (std::getline(f, line)) {
+            if (line.empty()) continue;
+            if (line[0] == '\\') {
+                if (line.rfind("\\end\\", 0) == 0) break;
+                int n = 0;
+                if (sscanf(line.c_str(), "\\%d-grams:", &n) == 1) {
+                    cur_order = n;
+                    order = std::max(order, n);
+                }
+                continue;
+            }
+            if (cur_order == 0) continue;  // header / \data\ section
+            std::istringstream ss(line);
+            double logp;
+            if (!(ss >> logp)) continue;
+            std::vector<int32_t> ids;
+            ids.reserve(cur_order);
+            std::string w;
+            for (int i = 0; i < cur_order; i++) {
+                if (!(ss >> w)) break;
+                auto it = vocab.find(w);
+                int32_t id;
+                if (it == vocab.end()) {
+                    id = (int32_t)vocab.size();
+                    vocab.emplace(w, id);
+                } else {
+                    id = it->second;
+                }
+                ids.push_back(id);
+            }
+            double backoff = 0.0;
+            ss >> backoff;  // absent -> stays 0
+            grams[key(ids)] = {float(logp * ln10), float(backoff * ln10)};
+        }
+        return order > 0;
+    }
+
+    // score word given context (natural log), with backoff; returns new
+    // context (truncated to order-1)
+    double score(std::vector<int32_t>& ctx, int32_t wid) const {
+        if (wid < 0) return -10.0;  // unk not in vocab at all
+        std::vector<int32_t> full(ctx);
+        full.push_back(wid);
+        // longest-match backoff: P(w|ctx) = P(w|ctx') + sum(backoffs dropped)
+        double bo_sum = 0.0;
+        for (size_t start = 0; start < full.size(); start++) {
+            std::vector<int32_t> sub(full.begin() + start, full.end());
+            auto it = grams.find(key(sub));
+            if (it != grams.end()) {
+                // new context = last (order-1) words of full
+                ctx = full;
+                if ((int)ctx.size() >= order)
+                    ctx.erase(ctx.begin(), ctx.end() - (order - 1));
+                return it->second.first + bo_sum;
+            }
+            // add backoff of the dropped context prefix ctx[start..]
+            std::vector<int32_t> boctx(full.begin() + start, full.end() - 1);
+            if (!boctx.empty()) {
+                auto b = grams.find(key(boctx));
+                if (b != grams.end()) bo_sum += b->second.second;
+            }
+        }
+        ctx = full;
+        if ((int)ctx.size() >= order)
+            ctx.erase(ctx.begin(), ctx.end() - (order - 1));
+        return -23.0 + bo_sum;  // ~log(1e-10): token absent everywhere
+    }
+};
+
+// ------------------------------------------------------------- lexicon trie
+struct TrieNode {
+    std::unordered_map<int32_t, int32_t> children;  // token -> node index
+    std::vector<int32_t> words;                     // lm word ids ending here
+};
+
+struct Decoder {
+    NGramLM lm;
+    std::vector<TrieNode> trie;
+    std::unordered_map<std::string, int32_t> token_ids;
+    int32_t blank = 0, sep = -1;
+    double lm_weight = 0.0, word_score = 0.0;
+    int beam = 50;
+    bool has_lm = false;
+
+    int32_t trie_add_path(const std::vector<int32_t>& toks) {
+        int32_t node = 0;
+        for (int32_t t : toks) {
+            auto it = trie[node].children.find(t);
+            if (it == trie[node].children.end()) {
+                int32_t next = (int32_t)trie.size();
+                trie[node].children.emplace(t, next);
+                trie.emplace_back();
+                node = next;
+            } else {
+                node = it->second;
+            }
+        }
+        return node;
+    }
+
+    // lexicon line: "word tok1 tok2 ..." (tokens are vocab symbols)
+    bool load_lexicon(const char* path) {
+        std::ifstream f(path);
+        if (!f) return false;
+        trie.clear();
+        trie.emplace_back();  // root
+        std::string line;
+        while (std::getline(f, line)) {
+            if (line.empty()) continue;
+            std::istringstream ss(line);
+            std::string word, tok;
+            ss >> word;
+            std::vector<int32_t> toks;
+            while (ss >> tok) {
+                auto it = token_ids.find(tok);
+                if (it == token_ids.end()) { toks.clear(); break; }
+                toks.push_back(it->second);
+            }
+            if (toks.empty()) continue;
+            int32_t node = trie_add_path(toks);
+            int32_t wid = has_lm ? lm.word_id(word) : (int32_t)trie[node].words.size();
+            trie[node].words.push_back(wid);
+        }
+        return trie.size() > 1;
+    }
+};
+
+// beam hypothesis
+struct Hyp {
+    int32_t trie_node = 0;
+    int32_t last_tok = -1;            // last emitted (non-blank) token
+    double p_b = NEG_INF;             // prob ending in blank
+    double p_nb = NEG_INF;            // prob ending in non-blank
+    double lm_score = 0.0;            // accumulated weighted LM + word bonuses
+    std::vector<int32_t> lm_ctx;
+    std::vector<int32_t> tokens;      // emitted token sequence
+
+    double total() const { return log_add(p_b, p_nb) + lm_score; }
+};
+
+struct HypKey {
+    std::string s;
+    bool operator==(const HypKey& o) const { return s == o.s; }
+};
+struct HypKeyHash {
+    size_t operator()(const HypKey& k) const { return std::hash<std::string>()(k.s); }
+};
+
+HypKey make_key(const Hyp& h) {
+    HypKey k;
+    k.s.reserve((h.tokens.size() + h.lm_ctx.size() + 1) * sizeof(int32_t));
+    k.s.append(reinterpret_cast<const char*>(h.tokens.data()),
+               h.tokens.size() * sizeof(int32_t));
+    k.s.push_back('|');
+    k.s.append(reinterpret_cast<const char*>(h.lm_ctx.data()),
+               h.lm_ctx.size() * sizeof(int32_t));
+    return k;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lexdec_create(const char* lexicon_path, const char* arpa_path,
+                    const char** vocab, int64_t V, int32_t blank,
+                    int32_t sep, double lm_weight, double word_score,
+                    int32_t beam) {
+    auto* d = new Decoder();
+    d->blank = blank;
+    d->sep = sep;
+    d->lm_weight = lm_weight;
+    d->word_score = word_score;
+    d->beam = beam;
+    for (int64_t i = 0; i < V; i++) d->token_ids[vocab[i]] = (int32_t)i;
+    if (arpa_path && arpa_path[0]) d->has_lm = d->lm.load(arpa_path);
+    if (!d->load_lexicon(lexicon_path)) { delete d; return nullptr; }
+    return d;
+}
+
+void lexdec_free(void* p) { delete static_cast<Decoder*>(p); }
+
+// Decode one utterance.  lp: [T, V] natural-log posteriors.  Returns number
+// of output tokens written to out_tokens (caller capacity T); out_score gets
+// the total (acoustic + weighted LM) score of the 1-best.
+int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
+                      int32_t* out_tokens, double* out_score) {
+    auto* d = static_cast<Decoder*>(p);
+    std::vector<Hyp> beam_hyps(1);
+    beam_hyps[0].p_b = 0.0;
+
+    std::unordered_map<HypKey, Hyp, HypKeyHash> next;
+    for (int64_t t = 0; t < T; t++) {
+        next.clear();
+        const float* row = lp + t * V;
+        auto merge = [&](Hyp&& h) {
+            HypKey k = make_key(h);
+            auto it = next.find(k);
+            if (it == next.end()) {
+                next.emplace(std::move(k), std::move(h));
+            } else {
+                it->second.p_b = log_add(it->second.p_b, h.p_b);
+                it->second.p_nb = log_add(it->second.p_nb, h.p_nb);
+            }
+        };
+
+        for (const Hyp& h : beam_hyps) {
+            double p_tot = log_add(h.p_b, h.p_nb);
+            // 1) blank
+            {
+                Hyp nh = h;
+                nh.p_b = p_tot + row[d->blank];
+                nh.p_nb = NEG_INF;
+                merge(std::move(nh));
+            }
+            // 2) repeat last non-blank token (stay in same prefix)
+            if (h.last_tok >= 0 && h.p_nb > NEG_INF) {
+                Hyp nh = h;
+                nh.p_b = NEG_INF;
+                nh.p_nb = h.p_nb + row[h.last_tok];
+                merge(std::move(nh));
+            }
+            // 3) extend with a child token of the trie node
+            for (const auto& [tok, child] : d->trie[h.trie_node].children) {
+                // emitting the same token right after itself requires a blank
+                double base = (tok == h.last_tok) ? h.p_b : p_tot;
+                if (base <= NEG_INF) continue;
+                Hyp nh = h;
+                nh.p_b = NEG_INF;
+                nh.p_nb = base + row[tok];
+                nh.trie_node = child;
+                nh.last_tok = tok;
+                nh.tokens.push_back(tok);
+                merge(std::move(nh));
+            }
+            // 4) word boundary: current node completes a word, emit separator
+            if (d->sep >= 0 && !d->trie[h.trie_node].words.empty()) {
+                double base = (d->sep == h.last_tok) ? h.p_b : p_tot;
+                if (base > NEG_INF) {
+                    Hyp nh = h;
+                    nh.p_b = NEG_INF;
+                    nh.p_nb = base + row[d->sep];
+                    nh.last_tok = d->sep;
+                    nh.tokens.push_back(d->sep);
+                    nh.trie_node = 0;  // word done: back to root
+                    if (d->has_lm) {
+                        int32_t wid = d->trie[h.trie_node].words[0];
+                        nh.lm_score += d->lm_weight *
+                                       d->lm.score(nh.lm_ctx, wid) +
+                                       d->word_score;
+                    } else {
+                        nh.lm_score += d->word_score;
+                    }
+                    merge(std::move(nh));
+                }
+            }
+        }
+
+        // prune to beam
+        beam_hyps.clear();
+        beam_hyps.reserve(next.size());
+        for (auto& [k, h] : next) beam_hyps.push_back(std::move(h));
+        std::sort(beam_hyps.begin(), beam_hyps.end(),
+                  [](const Hyp& a, const Hyp& b) { return a.total() > b.total(); });
+        if ((int)beam_hyps.size() > d->beam) beam_hyps.resize(d->beam);
+    }
+
+    // finalize: prefer hypotheses that END at a word boundary (trie root) or
+    // complete a word; apply the final word's LM score if pending
+    double best = NEG_INF;
+    const Hyp* best_h = nullptr;
+    std::vector<Hyp> finals;
+    finals.reserve(beam_hyps.size());
+    for (const Hyp& h : beam_hyps) {
+        Hyp f = h;
+        if (f.trie_node != 0 && !d->trie[f.trie_node].words.empty()) {
+            if (d->has_lm) {
+                int32_t wid = d->trie[f.trie_node].words[0];
+                f.lm_score += d->lm_weight * d->lm.score(f.lm_ctx, wid) +
+                              d->word_score;
+            } else {
+                f.lm_score += d->word_score;
+            }
+            f.trie_node = 0;
+        } else if (f.trie_node != 0) {
+            f.lm_score += -1e4;  // dangling partial word: heavily penalized
+        }
+        finals.push_back(std::move(f));
+    }
+    for (const Hyp& h : finals) {
+        if (h.total() > best) { best = h.total(); best_h = &h; }
+    }
+    if (!best_h) { *out_score = NEG_INF; return 0; }
+    int64_t n = std::min<int64_t>((int64_t)best_h->tokens.size(), T);
+    for (int64_t i = 0; i < n; i++) out_tokens[i] = best_h->tokens[i];
+    *out_score = best;
+    return n;
+}
+
+}  // extern "C"

@@ -49,6 +49,7 @@ class ASRDecoder:
         min_len: int = 1,
         unk_penalty: float = 0.0,
         suppress_ids: tuple = (),
+        no_repeat_ngram_size: int = 0,
     ):
         self.model = model
         self.variables = variables
@@ -63,6 +64,7 @@ class ASRDecoder:
         self.min_len = min_len
         self.unk_penalty = unk_penalty
         self.suppress_ids = tuple(suppress_ids)
+        self.no_repeat_ngram_size = no_repeat_ngram_size
         self.ctc_beam = max(2, int(beam_size * CTC_SCORING_RATIO))
         self._decode = jax.jit(self._decode_impl, static_argnames=("batch_size",))
 
@@ -191,6 +193,7 @@ class ASRDecoder:
             length_penalty=self.length_penalty,
             min_len=self.min_len,
             select_fn=functools.partial(self._select, variables),
+            no_repeat_ngram_size=self.no_repeat_ngram_size,
         )
 
     def __call__(self, wav, wav_lengths) -> BeamResult:

@@ -51,6 +51,36 @@ def _gather_rows(state, rows):
     )
 
 
+def ngram_repeat_mask(tokens, step, n: int, vocab_size: int):
+    """Tokens banned at ``step+1`` because they would repeat an n-gram.
+
+    Pure-XLA replacement for fairseq's CUDA ``ngram_repeat_block``
+    (reference sequence_generator.py:23,111-114): token v is banned iff the
+    (n-1)-gram ending at ``step`` occurred earlier at some position p (its
+    window fully within the generated prefix) followed by v.
+
+    tokens: [N, L+1] (position 0 = bos); returns bool [N, V] True = banned.
+    """
+    N, L1 = tokens.shape
+    # current context: tokens[step-n+2 .. step]  (n-1 tokens)
+    ctx_idx = step + jnp.arange(-(n - 2), 1)               # [n-1]
+    ctx = tokens[:, jnp.clip(ctx_idx, 0, L1 - 1)]          # [N, n-1]
+    # windows starting at p: tokens[p .. p+n-2], next token tokens[p+n-1]
+    p = jnp.arange(L1)
+    win_idx = p[:, None] + jnp.arange(n - 1)[None, :]      # [L1, n-1]
+    win = tokens[:, jnp.clip(win_idx, 0, L1 - 1)]          # [N, L1, n-1]
+    nxt = tokens[:, jnp.clip(p + n - 1, 0, L1 - 1)]        # [N, L1]
+    match = jnp.all(win == ctx[:, None, :], axis=-1)       # [N, L1]
+    # window must lie fully within generated prefix: p+n-1 <= step
+    valid = (p + n - 1 <= step)[None, :]
+    # and the current context itself must be fully generated
+    ctx_ok = step >= n - 2
+    match = match & valid & ctx_ok
+    banned = jnp.zeros((N, vocab_size), bool)
+    banned = banned.at[jnp.arange(N)[:, None], nxt].max(match)
+    return banned
+
+
 def beam_search(
     step_fn: Callable,
     init_model_state,
@@ -64,6 +94,7 @@ def beam_search(
     length_penalty: float = 1.0,
     min_len: int = 1,
     select_fn: Optional[Callable] = None,
+    no_repeat_ngram_size: int = 0,
 ) -> BeamResult:
     """Run beam search; all shapes static, whole loop jittable."""
     B, K, V = batch_size, beam_size, vocab_size
@@ -116,6 +147,12 @@ def beam_search(
         lprobs = lprobs.at[:, eos_id].set(
             jnp.where(step < min_len, NEG_INF, lprobs[:, eos_id])
         )
+        if no_repeat_ngram_size > 0:
+            banned = ngram_repeat_mask(
+                s.alive_tokens.reshape(N, L + 1), step,
+                no_repeat_ngram_size, V,
+            )
+            lprobs = jnp.where(banned, NEG_INF, lprobs)
         # at the last step only eos may be selected
         only_eos = jnp.full((V,), NEG_INF).at[eos_id].set(0.0)
         lprobs = jnp.where(

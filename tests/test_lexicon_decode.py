@@ -1,0 +1,203 @@
+"""Lexicon-constrained CTC beam decode + n-gram LM tests (the reference
+SpeechLM inference stack: flashlight LexiconDecoder + KenLM, reference
+SpeechLM/speechlm/infer.py:29-33,121).  Also covers the jittable n-gram
+repeat block (reference sequence_generator.py:23,111-114)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from speecht5_tpu.decode.lexicon import (
+    NGramLM, lexicon_beam_py, LexiconDecoder,
+)
+from speecht5_tpu.data import native
+
+BLANK, SEP, A, B = 0, 1, 2, 3
+VOCAB = ["<blank>", "|", "a", "b"]
+LN10 = math.log(10.0)
+
+
+@pytest.fixture
+def arpa(tmp_path):
+    p = tmp_path / "lm.arpa"
+    p.write_text(
+        "\\data\\\n"
+        "ngram 1=3\n"
+        "ngram 2=1\n"
+        "\n"
+        "\\1-grams:\n"
+        "-0.2\taa\t-0.4\n"
+        "-1.5\tab\t-0.1\n"
+        "-0.9\tba\n"
+        "\n"
+        "\\2-grams:\n"
+        "-0.05\taa ab\n"
+        "\n"
+        "\\end\\\n"
+    )
+    return str(p)
+
+
+@pytest.fixture
+def lexicon_file(tmp_path):
+    p = tmp_path / "lexicon.txt"
+    p.write_text("aa\ta a\nab\ta b\nba\tb a\n")
+    return str(p)
+
+
+LEXICON = {"aa": [A, A], "ab": [A, B], "ba": [B, A]}
+
+
+def soft_emissions(rows):
+    """rows: list of [V] unnormalized positives -> log-softmax rows."""
+    e = np.asarray(rows, np.float64)
+    e = np.log(e / e.sum(-1, keepdims=True))
+    return e.astype(np.float32)
+
+
+class TestNGramLM:
+    def test_backoff_score(self, arpa):
+        lm = NGramLM(arpa)
+        assert lm.order == 2
+        # direct bigram hit
+        s, ctx = lm.score(("aa",), "ab")
+        np.testing.assert_allclose(s, -0.05 * LN10, rtol=1e-6)
+        assert ctx == ("ab",)
+        # backoff: P(ba | aa) = backoff(aa) + P(ba)
+        s2, _ = lm.score(("aa",), "ba")
+        np.testing.assert_allclose(s2, (-0.4 - 0.9) * LN10, rtol=1e-6)
+        # no context
+        s3, _ = lm.score((), "aa")
+        np.testing.assert_allclose(s3, -0.2 * LN10, rtol=1e-6)
+
+
+class TestLexiconBeamPy:
+    def test_acoustic_best_without_lm(self):
+        # 'a' then clearly 'b': acoustically "ab"
+        lp = soft_emissions([
+            [0.05, 0.05, 0.85, 0.05],
+            [0.10, 0.05, 0.05, 0.80],
+            [0.70, 0.10, 0.10, 0.10],
+        ])
+        toks, score = lexicon_beam_py(lp, LEXICON, BLANK, SEP, beam=20)
+        assert toks == [A, B]
+        assert np.isfinite(score)
+
+    def test_lexicon_constrains_to_valid_words(self):
+        # acoustically "bb" is best but no word spells b b -> decoder may not
+        # produce it
+        lp = soft_emissions([
+            [0.05, 0.05, 0.05, 0.85],
+            [0.70, 0.05, 0.05, 0.20],
+            [0.05, 0.05, 0.05, 0.85],
+        ])
+        toks, _ = lexicon_beam_py(lp, LEXICON, BLANK, SEP, beam=20)
+        assert toks != [B, B]
+
+    def test_lm_changes_one_best(self, arpa):
+        """Near-tie between "ab" and "aa"; the LM strongly prefers "aa"
+        (-0.2 vs -1.5 log10) and must flip the 1-best."""
+        lm = NGramLM(arpa)
+        lp = soft_emissions([
+            [0.02, 0.02, 0.94, 0.02],   # a
+            [0.47, 0.02, 0.04, 0.47],   # blank vs b near-tie
+            [0.10, 0.05, 0.45, 0.40],   # a vs b
+        ])
+        toks_no, _ = lexicon_beam_py(lp, LEXICON, BLANK, SEP, beam=20)
+        assert toks_no == [A, B]
+        toks_lm, _ = lexicon_beam_py(
+            lp, LEXICON, BLANK, SEP, lm=lm, lm_weight=3.0, beam=20
+        )
+        assert toks_lm == [A, A]
+
+    def test_hand_computed_single_word_score(self):
+        """One word 'aa' with T=3: exact CTC forward score by hand.
+        Valid alignments for tokens (a, a): a _ a only (repeat collapses).
+        plus final-frame handling: paths a,_,a and with trailing repeats."""
+        # tiny vocab: blank, sep, a  (use LEXICON with only 'aa')
+        lp = soft_emissions([
+            [0.2, 0.1, 0.7, 0.0001],
+            [0.6, 0.1, 0.3, 0.0001],
+            [0.2, 0.1, 0.7, 0.0001],
+        ])
+        lex = {"aa": [A, A]}
+        toks, score = lexicon_beam_py(lp, lex, BLANK, SEP, beam=50)
+        assert toks == [A, A]
+        # alignments mapping to "aa" in 3 frames: (a, blank, a) only
+        want = lp[0, A] + lp[1, BLANK] + lp[2, A]
+        np.testing.assert_allclose(score, want, rtol=1e-5)
+
+
+class TestNativeParity:
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_cpp_matches_python(self, lexicon_file, arpa, rng):
+        dec = LexiconDecoder(
+            lexicon_file, VOCAB, arpa_path=arpa, blank=BLANK, sep=SEP,
+            lm_weight=1.5, word_score=-0.3, beam=30,
+        )
+        lm = NGramLM(arpa)
+        for trial in range(10):
+            T = int(rng.integers(3, 9))
+            e = rng.random((T, 4)) + 1e-3
+            lp = np.log(e / e.sum(-1, keepdims=True)).astype(np.float32)
+            want_toks, want_score = lexicon_beam_py(
+                lp, LEXICON, BLANK, SEP, lm=lm, lm_weight=1.5,
+                word_score=-0.3, beam=30,
+            )
+            got_toks, got_score = dec.decode(lp)
+            assert got_toks == want_toks, f"trial {trial}"
+            np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_cpp_no_lm(self, lexicon_file, rng):
+        dec = LexiconDecoder(
+            lexicon_file, VOCAB, blank=BLANK, sep=SEP, beam=30,
+        )
+        for _ in range(5):
+            T = int(rng.integers(3, 8))
+            e = rng.random((T, 4)) + 1e-3
+            lp = np.log(e / e.sum(-1, keepdims=True)).astype(np.float32)
+            want_toks, want_score = lexicon_beam_py(
+                lp, LEXICON, BLANK, SEP, beam=30
+            )
+            got_toks, got_score = dec.decode(lp)
+            assert got_toks == want_toks
+            np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+
+class TestNgramRepeatBlock:
+    def test_bans_repeating_ngram(self):
+        import jax.numpy as jnp
+        from speecht5_tpu.decode.beam_search import ngram_repeat_mask
+
+        # sequence: bos 5 6 5 -> with n=2, context at step 3 is (5,);
+        # earlier bigram (5, 6) means 6 is banned next
+        toks = jnp.asarray([[2, 5, 6, 5, 0, 0]])
+        banned = np.asarray(
+            ngram_repeat_mask(toks, jnp.asarray(3), 2, 8)
+        )
+        assert banned[0, 6]
+        assert not banned[0, 5] and not banned[0, 7]
+
+    def test_no_ban_without_repeat(self):
+        import jax.numpy as jnp
+        from speecht5_tpu.decode.beam_search import ngram_repeat_mask
+
+        toks = jnp.asarray([[2, 5, 6, 7, 0, 0]])
+        banned = np.asarray(
+            ngram_repeat_mask(toks, jnp.asarray(3), 3, 8)
+        )
+        assert not banned.any()
+
+    def test_trigram_ban(self):
+        import jax.numpy as jnp
+        from speecht5_tpu.decode.beam_search import ngram_repeat_mask
+
+        # bos 4 5 6 4 5 -> context (4,5); earlier trigram (4,5,6) bans 6
+        toks = jnp.asarray([[2, 4, 5, 6, 4, 5, 0, 0]])
+        banned = np.asarray(
+            ngram_repeat_mask(toks, jnp.asarray(5), 3, 8)
+        )
+        assert banned[0, 6]
+        assert banned.sum() == 1
