@@ -364,6 +364,111 @@ class SpeechToSpeechDataset:
 
 
 @dataclass
+class TextPretrainDataset:
+    """BART text pretraining over a raw text corpus: tokenize -> token-block
+    packing -> bos/eos framing -> per-item BART noising at collate time.
+
+    Mirrors the reference pipeline (tasks/speecht5.py:439-480): indexed
+    sentences -> TokenBlockDataset(tokens_per_sample-2, break_mode) ->
+    PrependToken(bos) + AppendToken(eos) -> TextPretrainDataset noising
+    (data/text_dataset.py:100-476).  The tokenizer is a Dictionary (letters)
+    or any object with ``encode_line``/``encode`` returning ids.
+    """
+
+    text_file: str
+    dictionary: object                  # Dictionary or SentencePieceModel
+    tokens_per_sample: int = 512
+    break_mode: str = "none"            # none | complete | eos
+    bos_id: int = 0
+    eos_id: int = 2
+    pad_id: int = 1
+    mask_id: Optional[int] = None       # <mask> id; required for noising
+    noising: Optional[object] = None    # NoisingConfig; None = clean LM blocks
+    seed: int = 1
+
+    def __post_init__(self):
+        from . import text_noising as TN
+
+        if self.noising is None:
+            self.noising = TN.NoisingConfig()
+        lines = read_lines(self.text_file)
+        sents: List[np.ndarray] = []
+        for line in lines:
+            if not line.strip():
+                continue
+            if hasattr(self.dictionary, "encode_line"):
+                ids = self.dictionary.encode_line(line, append_eos=False)
+            else:
+                ids = self.dictionary.encode(line)
+            if len(ids):
+                sents.append(np.asarray(ids, np.int64))
+        block = self.tokens_per_sample - 2  # room for bos/eos
+        self.blocks: List[np.ndarray] = []
+        if self.break_mode == "eos":
+            self.blocks = [s[:block] for s in sents]
+        elif self.break_mode == "complete":
+            cur: List[np.ndarray] = []
+            n = 0
+            for s in sents:
+                if n + len(s) > block and cur:
+                    self.blocks.append(np.concatenate(cur))
+                    cur, n = [], 0
+                cur.append(s[:block])
+                n += len(s)
+            if cur:
+                self.blocks.append(np.concatenate(cur))
+        else:  # none: continuous stream, fixed-size blocks
+            stream = np.concatenate(sents) if sents else np.zeros(0, np.int64)
+            for i in range(0, len(stream), block):
+                b = stream[i : i + block]
+                if len(b):
+                    self.blocks.append(b)
+        self.sizes = np.asarray([len(b) + 2 for b in self.blocks], np.int64)
+
+    def __len__(self):
+        return len(self.blocks)
+
+    def __getitem__(self, i: int) -> Dict:
+        toks = np.concatenate(
+            [[self.bos_id], self.blocks[i], [self.eos_id]]
+        ).astype(np.int64)
+        return {"id": i, "tokens": toks}
+
+    def collate(self, items: List[Dict], bucketed: bool = True,
+                epoch: int = 0) -> Dict[str, np.ndarray]:
+        from .text_noising import noise_tokens
+
+        assert self.mask_id is not None, "mask_id required for BART noising"
+        B = len(items)
+        srcs, tgts = [], []
+        vocab = len(self.dictionary)
+        for it in items:
+            src, tgt = noise_tokens(
+                it["tokens"], self.noising, self.mask_id, vocab,
+                seed=self.seed + 1000003 * epoch + int(it["id"]),
+            )
+            srcs.append(src)
+            tgts.append(tgt)
+        src_len = max(len(s) for s in srcs)
+        tgt_len = max(len(t) for t in tgts)
+        if bucketed:
+            src_len = bucket_length(src_len, TOKEN_BUCKETS)
+            tgt_len = bucket_length(tgt_len, TOKEN_BUCKETS)
+        tokens = np.full((B, src_len), self.pad_id, np.int64)
+        targets = np.full((B, tgt_len), self.pad_id, np.int64)
+        prev = np.full((B, tgt_len), self.pad_id, np.int64)
+        for b, (s, t) in enumerate(zip(srcs, tgts)):
+            Ls = min(len(s), src_len)
+            Lt = min(len(t), tgt_len)
+            tokens[b, :Ls] = s[:Ls]
+            targets[b, :Lt] = t[:Lt]
+            prev[b, 0] = self.eos_id
+            prev[b, 1:Lt] = t[: Lt - 1]
+        return {"tokens": tokens, "targets": targets, "prev_tokens": prev,
+                "ids": np.asarray([it["id"] for it in items])}
+
+
+@dataclass
 class SpeechPretrainDataset:
     """HuBERT-style pretraining: waveform + frame-level km labels + fbank
     decoder target (reference data/speech_dataset.py:186-476)."""
