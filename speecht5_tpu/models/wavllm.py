@@ -1,0 +1,481 @@
+"""WavLLM: Whisper+WavLM dual speech encoder -> LLaMA decoder with LoRA/LoRA-MoE.
+
+Behavioral spec from reference WavLLM/wavllm/models/:
+- speechllm_model.py:43-91 (Conv1dSubsampler with GLU, stride-2 stack),
+  :183-214 (dual encoders: Whisper-large-v2 + WavLM, each adapted and summed
+  with weight wavlm_output_weight; linear audio_proj into the LLaMA width);
+- whisper_encoder.py (HF Whisper encoder: 2x conv + sinusoidal positions +
+  pre-LN transformer);
+- llama.py:169-345 (RMSNorm, rotary embeddings, LoRA on wq/wk/wv/wo with
+  scaling alpha/r and zero-init B, KV-cache incremental decode, SwiGLU FFN),
+  :147-149 (LoRA-MoE: expert LoRA pairs mixed by a gate);
+- data packs [left_prompt | speech | right_prompt | target] token segments
+  around the audio features (speechllm_dataset.py:145-163).
+
+All-native flax: no HF checkpoints are loadable in this image, so the
+encoders are the same topologies at configurable width; the SFT/decode
+surfaces mirror the reference contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace as dc_replace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import TransformerConfig, ConvFeatureConfig, RelPosConfig
+from ..ops.positional import espnet_sinusoidal_table
+from ..utils.masks import length_mask
+from .layers import EncoderLayer
+from .prenets import ConvFeatureExtractor
+from .encoder import TransformerEncoder
+
+
+@dataclass(frozen=True)
+class WavLLMConfig:
+    # whisper-style encoder
+    n_mels: int = 80
+    whisper_d: int = 1280
+    whisper_layers: int = 32
+    whisper_heads: int = 20
+    whisper_ffn: int = 5120
+    # wavlm-style encoder
+    use_wavlm: bool = True
+    wavlm_conv: ConvFeatureConfig = field(default_factory=ConvFeatureConfig)
+    wavlm_encoder: TransformerConfig = field(
+        default_factory=lambda: TransformerConfig(num_layers=12)
+    )
+    wavlm_output_weight: float = 0.5
+    # llama decoder
+    vocab_size: int = 32000
+    llama_dim: int = 4096
+    llama_layers: int = 32
+    llama_heads: int = 32
+    llama_ffn: int = 11008
+    max_seq_len: int = 2048
+    rope_theta: float = 10000.0
+    # adapters
+    adapter_mid: int = 512
+    # lora
+    lora_r: int = 8
+    lora_alpha: int = 32
+    lora_dropout: float = 0.1
+    lora_moe: bool = False
+    n_experts: int = 3
+    # ids
+    pad_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def wavllm_tiny(**kw) -> WavLLMConfig:
+    cfg = WavLLMConfig(
+        n_mels=20, whisper_d=32, whisper_layers=2, whisper_heads=4,
+        whisper_ffn=64,
+        wavlm_conv=ConvFeatureConfig(layers=((16, 10, 5), (16, 8, 4), (32, 4, 4))),
+        wavlm_encoder=TransformerConfig(
+            d_model=32, ffn_dim=64, num_layers=2, num_heads=4,
+            dropout=0.0, attention_dropout=0.0,
+            rel_pos=RelPosConfig(max_distance=8),
+        ),
+        vocab_size=48, llama_dim=32, llama_layers=2, llama_heads=4,
+        llama_ffn=64, max_seq_len=128, adapter_mid=32, lora_r=4,
+        lora_alpha=8, lora_dropout=0.0,
+    )
+    return dc_replace(cfg, **kw)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf ** 2, axis=-1, keepdims=True) + 1e-6)
+        return (y * w).astype(x.dtype)
+
+
+def rope_tables(head_dim: int, max_len: int, theta: float):
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2) / head_dim))
+    t = jnp.arange(max_len)
+    ang = jnp.outer(t, freqs)                      # [L, Dh/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x, cos, sin, positions):
+    """x: [B, T, H, Dh]; interleaved complex pairs (llama view_as_complex)."""
+    c = cos[positions][:, :, None, :]              # [B, T, 1, Dh/2]
+    s = sin[positions][:, :, None, :]
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    o1 = x1 * c - x2 * s
+    o2 = x1 * s + x2 * c
+    out = jnp.stack([o1, o2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+class LoRALinear(nn.Module):
+    """Frozen-style base kernel + low-rank update (reference llama.py:212-276):
+    y = x W + (drop(x) A B) * alpha/r.  With ``n_experts`` > 0 the update is a
+    gate-weighted mixture of expert (A, B) pairs (LoRA-MoE,
+    speechllm_model.py:263-278)."""
+
+    features: int
+    r: int
+    alpha: float
+    dropout: float = 0.0
+    n_experts: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, gate=None, deterministic=True):
+        d_in = x.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+        )
+        y = x @ w.astype(x.dtype)
+        if self.r <= 0:
+            return y
+        scale = self.alpha / self.r
+        xd = x
+        if self.dropout > 0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, x.shape
+            )
+            xd = x * keep / (1.0 - self.dropout)
+        if self.n_experts > 0:
+            A = self.param(
+                "lora_A",
+                nn.initializers.he_uniform(),
+                (self.n_experts, d_in, self.r),
+            )
+            B = self.param(
+                "lora_B", nn.initializers.zeros,
+                (self.n_experts, self.r, self.features),
+            )
+            # gate: [batch, n_experts]; expert updates mixed per example
+            up = jnp.einsum("btd,edr,erf->betf", xd.astype(jnp.float32),
+                            A, B)
+            up = jnp.einsum("betf,be->btf", up, gate.astype(jnp.float32))
+        else:
+            A = self.param(
+                "lora_A", nn.initializers.he_uniform(), (d_in, self.r)
+            )
+            B = self.param(
+                "lora_B", nn.initializers.zeros, (self.r, self.features)
+            )
+            up = (xd.astype(jnp.float32) @ A) @ B
+        return y + (scale * up).astype(y.dtype)
+
+
+class LLaMABlock(nn.Module):
+    cfg: WavLLMConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        n_exp = cfg.n_experts if cfg.lora_moe else 0
+        lora = lambda name: LoRALinear(
+            cfg.llama_dim, cfg.lora_r, cfg.lora_alpha, cfg.lora_dropout,
+            n_exp, self.dtype, name=name,
+        )
+        self.wq = lora("wq")
+        self.wk = lora("wk")
+        self.wv = lora("wv")
+        self.wo = lora("wo")
+        self.attn_norm = RMSNorm(cfg.llama_dim, name="attention_norm")
+        self.ffn_norm = RMSNorm(cfg.llama_dim, name="ffn_norm")
+        dense = lambda d, name: nn.Dense(
+            d, use_bias=False, dtype=self.dtype, name=name
+        )
+        self.w1 = dense(cfg.llama_ffn, "w1")
+        self.w3 = dense(cfg.llama_ffn, "w3")
+        self.w2 = dense(cfg.llama_dim, "w2")
+
+    def __call__(self, x, cos, sin, positions, *, mask=None, cache=None,
+                 cache_index=None, gate=None, deterministic=True):
+        cfg = self.cfg
+        H = cfg.llama_heads
+        Dh = cfg.llama_dim // H
+        B, T, _ = x.shape
+
+        h = self.attn_norm(x)
+        q = self.wq(h, gate, deterministic).reshape(B, T, H, Dh)
+        k = self.wk(h, gate, deterministic).reshape(B, T, H, Dh)
+        v = self.wv(h, gate, deterministic).reshape(B, T, H, Dh)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        new_cache = None
+        if cache is not None:
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+            )
+            new_cache = {"k": k, "v": v}
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        logits = logits / jnp.sqrt(Dh).astype(jnp.float32)
+        Tk = k.shape[1]
+        j = jnp.arange(Tk)[None, None, None, :]
+        i = positions[:, None, :, None]
+        causal = j <= i
+        if mask is not None:
+            causal = causal & mask[:, None, None, :]
+        logits = jnp.where(causal, logits, -1e9)
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w, v.astype(self.dtype))
+        o = o.reshape(B, T, cfg.llama_dim)
+        x = x + self.wo(o, gate, deterministic)
+
+        h = self.ffn_norm(x)
+        x = x + self.w2(jax.nn.silu(self.w1(h)) * self.w3(h))
+        return x, new_cache
+
+
+class WhisperStyleEncoder(nn.Module):
+    """HF Whisper encoder topology: 2 convs (stride 1, 2) + sinusoidal
+    positions + pre-LN transformer + final LN (reference whisper_encoder.py)."""
+
+    cfg: WavLLMConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, mel_lengths, deterministic=True):
+        cfg = self.cfg
+        x = nn.Conv(cfg.whisper_d, (3,), padding="SAME", dtype=self.dtype,
+                    name="conv1")(mel.astype(self.dtype))
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(cfg.whisper_d, (3,), strides=(2,), padding="SAME",
+                    dtype=self.dtype, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        T = x.shape[1]
+        pos = jnp.asarray(espnet_sinusoidal_table(T, cfg.whisper_d))
+        x = x + pos[None].astype(x.dtype)
+        out_lengths = (mel_lengths + 1) // 2
+        valid = length_mask(out_lengths, T)
+        lcfg = TransformerConfig(
+            d_model=cfg.whisper_d, ffn_dim=cfg.whisper_ffn,
+            num_heads=cfg.whisper_heads, dropout=0.0, attention_dropout=0.0,
+            layer_norm_first=True,
+            rel_pos=RelPosConfig(enabled=False), use_rel_pos_bias=False,
+        )
+        for i in range(cfg.whisper_layers):
+            x, _ = EncoderLayer(lcfg, self.dtype, name=f"layers_{i}")(
+                x, key_valid=valid, deterministic=deterministic
+            )
+        x = nn.LayerNorm(dtype=jnp.float32, name="layer_norm")(x)
+        return x.astype(self.dtype), out_lengths
+
+
+class Conv1dSubsampler(nn.Module):
+    """GLU conv subsampler (reference speechllm_model.py:43-91)."""
+
+    mid: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        for i, feats in enumerate((self.mid, self.out)):
+            x = nn.Conv(feats * 2, (3,), strides=(2,), padding=[(1, 1)],
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.glu(x, axis=-1)
+            lengths = (lengths + 1) // 2
+        return x, lengths
+
+
+class WavLLMModel(nn.Module):
+    cfg: WavLLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dt = cfg.compute_dtype
+        self.whisper = WhisperStyleEncoder(cfg, dt, name="whisper")
+        self.whisper_adapter = Conv1dSubsampler(
+            cfg.adapter_mid, cfg.llama_dim, dt, name="whisper_adapter"
+        )
+        self.audio_proj = nn.Dense(cfg.llama_dim, dtype=dt, name="audio_proj")
+        if cfg.use_wavlm:
+            self.wavlm_fe = ConvFeatureExtractor(
+                cfg.wavlm_conv, dt, name="wavlm_fe"
+            )
+            self.wavlm_fe_proj = nn.Dense(
+                cfg.wavlm_encoder.d_model, dtype=dt, name="wavlm_fe_proj"
+            )
+            self.wavlm_encoder = TransformerEncoder(
+                cfg.wavlm_encoder, dtype=dt, name="wavlm_encoder"
+            )
+            self.wavlm_adapter = Conv1dSubsampler(
+                cfg.adapter_mid, cfg.llama_dim, dt, name="wavlm_adapter"
+            )
+            self.wavlm_audio_proj = nn.Dense(
+                cfg.llama_dim, dtype=dt, name="wavlm_audio_proj"
+            )
+        self.tok_embeddings = nn.Embed(
+            cfg.vocab_size, cfg.llama_dim, name="tok_embeddings"
+        )
+        self.layers = [
+            LLaMABlock(cfg, dt, name=f"layers_{i}")
+            for i in range(cfg.llama_layers)
+        ]
+        self.norm = RMSNorm(cfg.llama_dim, name="norm")
+        self.output = nn.Dense(
+            cfg.vocab_size, use_bias=False, dtype=jnp.float32, name="output"
+        )
+        if cfg.lora_moe:
+            self.moe_gate = nn.Dense(
+                cfg.n_experts, dtype=jnp.float32, name="moe_gate"
+            )
+        cos, sin = rope_tables(
+            cfg.llama_dim // cfg.llama_heads, cfg.max_seq_len, cfg.rope_theta
+        )
+        self.rope_cos, self.rope_sin = cos, sin
+
+    # --------------------------------------------------------------- audio
+
+    def encode_audio(self, mel, mel_lengths, wav=None, wav_lengths=None, *,
+                     deterministic=True):
+        """Dual-encoder audio features in LLaMA space: whisper branch +
+        wavlm_output_weight * wavlm branch (reference speechllm_model.py
+        :199-214, 362-378)."""
+        cfg = self.cfg
+        x, lens = self.whisper(mel, mel_lengths, deterministic=deterministic)
+        x, lens = self.whisper_adapter(x, lens)
+        feats = self.audio_proj(x)
+        if cfg.use_wavlm and wav is not None:
+            w = self.wavlm_fe(wav)
+            w = self.wavlm_fe_proj(w)
+            wl = cfg.wavlm_conv.out_length(wav_lengths)
+            enc = self.wavlm_encoder(
+                w, length_mask(wl, w.shape[1]), deterministic=deterministic
+            )
+            w, wl = self.wavlm_adapter(enc["encoder_out"], wl)
+            w = self.wavlm_audio_proj(w)
+            T = min(feats.shape[1], w.shape[1])
+            feats = feats[:, :T] + cfg.wavlm_output_weight * w[:, :T]
+            lens = jnp.minimum(lens, wl)
+        return feats, jnp.minimum(lens, feats.shape[1])
+
+    # ----------------------------------------------------------------- SFT
+
+    def _llama(self, embeds, positions, *, valid=None, caches=None,
+               cache_index=None, gate=None, deterministic=True):
+        x = embeds
+        new_caches = [] if caches is not None else None
+        for i, layer in enumerate(self.layers):
+            x, nc = layer(
+                x, self.rope_cos, self.rope_sin, positions, mask=valid,
+                cache=None if caches is None else caches[i],
+                cache_index=cache_index, gate=gate,
+                deterministic=deterministic,
+            )
+            if new_caches is not None:
+                new_caches.append(nc)
+        x = self.norm(x)
+        return self.output(x.astype(jnp.float32)), new_caches
+
+    def forward_sft(self, mel, mel_lengths, prompt_tokens, target_tokens,
+                    wav=None, wav_lengths=None, *, deterministic=True):
+        """Packed [prompt | audio | target] SFT forward
+        (reference speechllm_dataset.py:145-163 packing; loss is CE over the
+        target segment).  Returns (logits [B, Lt, V] predicting target_tokens,
+        gate or None)."""
+        cfg = self.cfg
+        audio, audio_lens = self.encode_audio(
+            mel, mel_lengths, wav, wav_lengths, deterministic=deterministic
+        )
+        B = audio.shape[0]
+        p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
+        t_emb = self.tok_embeddings(target_tokens).astype(audio.dtype)
+        seq = jnp.concatenate([p_emb, audio, t_emb], axis=1)
+        Lp, La, Lt = p_emb.shape[1], audio.shape[1], t_emb.shape[1]
+        positions = jnp.broadcast_to(jnp.arange(Lp + La + Lt)[None], seq.shape[:2])
+        valid = jnp.concatenate([
+            prompt_tokens != cfg.pad_id,
+            length_mask(audio_lens, La),
+            target_tokens != cfg.pad_id,
+        ], axis=1)
+        gate = None
+        if cfg.lora_moe:
+            pooled = (audio * length_mask(audio_lens, La)[..., None]).sum(1) \
+                / jnp.maximum(audio_lens, 1)[:, None]
+            gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
+        logits, _ = self._llama(
+            seq, positions, valid=valid, gate=gate,
+            deterministic=deterministic,
+        )
+        # logits at position i predict token i+1: the target segment
+        # [Lp+La .. Lp+La+Lt-1] is predicted by positions [Lp+La-1 ..]
+        start = Lp + La - 1
+        return logits[:, start : start + Lt], gate
+
+    # ------------------------------------------------------------ generate
+
+    def generate(self, mel, mel_lengths, prompt_tokens, *, max_new: int = 16,
+                 wav=None, wav_lengths=None):
+        """Greedy decode with KV cache: prefill [prompt | audio | bos], then
+        step (reference inference/generate.py contract)."""
+        cfg = self.cfg
+        audio, audio_lens = self.encode_audio(mel, mel_lengths, wav, wav_lengths)
+        B = audio.shape[0]
+        p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
+        seq = jnp.concatenate([p_emb, audio], axis=1)
+        L0 = seq.shape[1]
+        Lmax = L0 + max_new
+        gate = None
+        if cfg.lora_moe:
+            pooled = audio.mean(1)
+            gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
+
+        H, Dh = cfg.llama_heads, cfg.llama_dim // cfg.llama_heads
+        caches = [
+            {"k": jnp.zeros((B, Lmax, H, Dh), cfg.compute_dtype),
+             "v": jnp.zeros((B, Lmax, H, Dh), cfg.compute_dtype)}
+            for _ in self.layers
+        ]
+        valid = jnp.concatenate([
+            prompt_tokens != cfg.pad_id, length_mask(audio_lens, audio.shape[1]),
+            jnp.zeros((B, max_new), bool),
+        ], axis=1)
+        positions = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+        logits, caches = self._llama(
+            seq, positions, valid=valid, caches=caches, cache_index=0,
+            gate=gate,
+        )
+        tok = jnp.argmax(logits[:, -1], axis=-1)
+        outs = [tok]
+        for t in range(max_new - 1):
+            valid = valid.at[:, L0 + t].set(True)
+            emb = self.tok_embeddings(tok)[:, None].astype(audio.dtype)
+            pos = jnp.full((B, 1), L0 + t, jnp.int32)
+            logits, caches = self._llama(
+                emb, pos, valid=valid, caches=caches, cache_index=L0 + t,
+                gate=gate,
+            )
+            tok = jnp.argmax(logits[:, -1], axis=-1)
+            outs.append(tok)
+        return jnp.stack(outs, axis=1)
+
+
+def lora_param_filter(path_tuple) -> bool:
+    """True for trainable SFT params (LoRA A/B, gate, adapters, projections) —
+    the reference freezes the LLaMA trunk and audio encoders
+    (freeze_gpt/freeze_audio_encoder, speechllm_model.py:131-136)."""
+    flat = "/".join(str(p) for p in path_tuple)
+    if "lora_A" in flat or "lora_B" in flat or "moe_gate" in flat:
+        return True
+    return any(k in flat for k in (
+        "whisper_adapter", "wavlm_adapter", "audio_proj", "wavlm_audio_proj"
+    ))
