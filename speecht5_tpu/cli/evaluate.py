@@ -139,7 +139,7 @@ def main(argv=None):
         from ..decode.tts import TTSDecoder
 
         tts = TTSDecoder(model, variables)
-        mcds = []
+        mcds, focus_rates = [], []
         for s in range(0, n, args.batch_size):
             idxs = order[s : s + args.batch_size]
             items = [ds[i] for i in idxs]
@@ -158,14 +158,20 @@ def main(argv=None):
                 )
             mel = np.asarray(out.mel)
             lens = np.asarray(out.lengths)
+            focus = (np.asarray(out.focus_rate)
+                     if out.focus_rate is not None else None)
             for b, i in enumerate(idxs):
                 hyp_mel = mel[b, : int(lens[b])]
                 ref_mel = items[b]["mel"]
                 mcds.append(mcd(ref_mel, hyp_mel))
+                if focus is not None:
+                    focus_rates.append(float(focus[b]))
                 if args.results_path:
                     np.save(os.path.join(args.results_path, f"{i}.npy"),
                             hyp_mel)
         result = {"metric": "mcd", "value": float(np.mean(mcds)), "n_utts": n}
+        if focus_rates:
+            result["focus_rate"] = float(np.mean(focus_rates))
 
     result["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(result), flush=True)

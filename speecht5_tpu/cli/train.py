@@ -79,6 +79,49 @@ def make_batches(sizes, args, seed):
     return [order[i : i + B] for i in range(0, len(order) - B + 1, B)]
 
 
+def run_validation(trainer, ds, args, cfg, dictionary):
+    """Average eval-step metrics over the validation set; for s2t also the
+    greedy-CTC WER/UER (the reference's in-training WER,
+    speech_to_text_loss.py:232-297)."""
+    import numpy as np
+    from ..utils.metrics import MetricsLogger, corpus_wer, edit_distance
+    from ..data.dictionary import letters_to_text
+
+    logger = MetricsLogger()
+    uer_err = uer_tot = 0
+    refs, hyps = [], []
+    B = args.batch_size
+    n = len(ds) - len(ds) % B  # full batches only (sharded eval step)
+    for s in range(0, n, B):
+        items = [ds[i] for i in range(s, s + B)]
+        batch = collate_batch(args, ds, items, cfg, trainer.model)
+        out = trainer.eval_step(batch)
+        ctc_ids = out.pop("_ctc_ids", None)
+        enc_lengths = out.pop("_enc_lengths", None)
+        logger.update({k: float(v) for k, v in out.items()}, n=B)
+        if ctc_ids is not None and args.ctc_weight > 0:
+            # collapse repeats, drop blanks (greedy CTC on argmax ids)
+            ids = np.asarray(ctc_ids)
+            lens = np.asarray(enc_lengths)
+            for b, it in enumerate(items):
+                seq = ids[b, : lens[b]]
+                seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
+                seq = seq[(seq != cfg.blank_id) & (seq != cfg.pad_id)]
+                ref = [t for t in it["tokens"].tolist()
+                       if t not in (cfg.pad_id, cfg.eos_id)]
+                uer_err += edit_distance(seq.tolist(), ref)
+                uer_tot += max(len(ref), 1)
+                if dictionary is not None:
+                    hyps.append(letters_to_text(dictionary.string(seq)))
+                    refs.append(letters_to_text(dictionary.string(ref)))
+    result = logger.averages()
+    if uer_tot:
+        result["uer"] = uer_err / uer_tot
+        if refs:
+            result["wer"] = corpus_wer(refs, hyps)
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True,
@@ -109,6 +152,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--save-interval", type=int, default=1000)
     p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--valid-manifest", default=None)
+    p.add_argument("--valid-labels", default=None)
+    p.add_argument("--valid-interval", type=int, default=1000)
     p.add_argument("--n-model-shards", type=int, default=1)
     p.add_argument("--fsdp", action="store_true")
     p.add_argument("--finetune-from", default=None,
@@ -154,6 +200,14 @@ def main(argv=None):
         cfg = C.replace(
             cfg, sid=C.replace(cfg.sid, num_classes=ds.num_classes)
         )
+    valid_ds = None
+    if args.valid_manifest:
+        import copy as _copy
+
+        vargs = _copy.copy(args)
+        vargs.manifest = args.valid_manifest
+        vargs.labels = args.valid_labels or args.labels
+        valid_ds = build_dataset(vargs, dictionary, cfg)
 
     model, variables = init_model(cfg, jax.random.PRNGKey(args.seed))
 
@@ -213,6 +267,11 @@ def main(argv=None):
                 print(json.dumps({"step": step, **{
                     k: round(v, 4) for k, v in avg.items()}}), flush=True)
                 logger.reset()
+            if valid_ds is not None and step % args.valid_interval == 0:
+                vm = run_validation(trainer, valid_ds, args, cfg, dictionary)
+                print(json.dumps({"step": step, **{
+                    f"valid_{k}": round(v, 4) for k, v in vm.items()}}),
+                    flush=True)
             if step % args.save_interval == 0 or step >= args.max_updates:
                 mgr.save(
                     step, trainer.state,

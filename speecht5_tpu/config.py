@@ -103,6 +103,10 @@ class TransformerConfig:
     # self-attention WITHOUT has_relative_attention_bias (transformer_layer.py:229-242),
     # so its pos_emb is computed but never added; we replicate with use_rel_pos_bias=False.
     use_rel_pos_bias: bool = True
+    # activation checkpointing: recompute each layer in the backward pass
+    # (jax.checkpoint via nn.remat; the reference's optional
+    # checkpoint_wrapper, decoder.py:88-91).  Needed for Large training.
+    remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -258,11 +262,12 @@ def speecht5_large(**kw) -> SpeechT5Config:
     enc = TransformerConfig(
         d_model=1024, ffn_dim=4096, num_layers=24, num_heads=16,
         dropout=0.0, attention_dropout=0.0, layer_norm_first=True,
+        remat=True,
     )
     dec = TransformerConfig(
         d_model=1024, ffn_dim=4096, num_layers=6, num_heads=16,
         dropout=0.0, attention_dropout=0.0, layer_norm_first=True,
-        use_rel_pos_bias=False,
+        use_rel_pos_bias=False, remat=True,
     )
     cfg = SpeechT5Config(
         encoder=enc,

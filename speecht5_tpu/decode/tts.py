@@ -28,6 +28,7 @@ class TTSResult(NamedTuple):
     stop_probs: jnp.ndarray   # [B, L]
     wav: Optional[jnp.ndarray] = None          # [B, L*hop] when a vocoder is set
     wav_lengths: Optional[jnp.ndarray] = None  # [B] samples
+    focus_rate: Optional[jnp.ndarray] = None   # [B] attention diagnostic
 
 
 class TTSDecoder:
@@ -105,18 +106,30 @@ class TTSDecoder:
         lengths = jnp.zeros((B,), jnp.int32)
 
         def cond(carry):
-            step, _, _, _, _, done, _, _ = carry
+            step, done = carry[0], carry[5]
             return jnp.logical_and(step < S, ~jnp.all(done))
 
+        # focus-rate accumulator: per-(layer, head) running sum over steps of
+        # max-over-source attention (reference generate_speech.py:54-66;
+        # focus_rate = max over layers*heads of the per-step mean)
+        L_dec = self.cfg.decoder.num_layers
+        H_dec = self.cfg.decoder.num_heads
+        focus_acc = jnp.zeros((L_dec, B, H_dec), jnp.float32)
+
         def body(carry):
-            step, prev, cache, mel_buf, prob_buf, done, lengths, rng = carry
+            (step, prev, cache, mel_buf, prob_buf, done, lengths, rng,
+             focus_acc) = carry
             rng, sub = jax.random.split(rng)
-            frames, probs, cache = self.model.apply(
+            frames, probs, cache, attn = self.model.apply(
                 variables, prev, cache,
                 spkembs=spkembs, enc_valid=enc["valid_mask"],
-                method="speech_decode_step",
+                method="speech_decode_step", need_attn=True,
                 rngs={"prenet": sub},
             )
+            step_max = attn.max(axis=-1).astype(jnp.float32)  # [L, B, H]
+            focus_acc = focus_acc + step_max * (~done).astype(jnp.float32)[
+                None, :, None
+            ]
             # frames: [B, r, n_mels]; write into buffer at step*r
             mel_buf = jax.lax.dynamic_update_slice(
                 mel_buf, frames.astype(jnp.float32), (0, step * r, 0)
@@ -131,14 +144,16 @@ class TTSDecoder:
             lengths = jnp.where(newly_done, (step + 1) * r, lengths)
             done = done | newly_done
             prev = frames[:, -1:, :]
-            return step + 1, prev, cache, mel_buf, prob_buf, done, lengths, rng
+            return (step + 1, prev, cache, mel_buf, prob_buf, done, lengths,
+                    rng, focus_acc)
 
         carry = (jnp.zeros((), jnp.int32), prev, cache, mel_buf, prob_buf,
-                 done, lengths, rng)
-        step, _, _, mel_buf, prob_buf, done, lengths, _ = jax.lax.while_loop(
-            cond, body, carry
-        )
+                 done, lengths, rng, focus_acc)
+        (step, _, _, mel_buf, prob_buf, done, lengths, _,
+         focus_acc) = jax.lax.while_loop(cond, body, carry)
         lengths = jnp.where(done, lengths, step * r)
+        steps_b = jnp.maximum(lengths // r, 1).astype(jnp.float32)
+        focus_rate = (focus_acc / steps_b[None, :, None]).max(axis=(0, 2))
 
         mel_after = self.model.apply(
             variables, mel_buf, method="postnet_refine"
@@ -153,4 +168,5 @@ class TTSDecoder:
         return TTSResult(
             mel=mel_after, mel_before=mel_buf, lengths=lengths,
             stop_probs=prob_buf, wav=wav, wav_lengths=wav_lengths,
+            focus_rate=focus_rate,
         )

@@ -34,8 +34,13 @@ class TransformerDecoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # nn.remat preserves the param scope, so checkpoints stay compatible
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(5, 10, 11))
+            if cfg.remat else DecoderLayer
+        )
         self.layers = [
-            DecoderLayer(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
+            layer_cls(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
             for i in range(cfg.num_layers)
         ]
         if cfg.layer_norm_first:
@@ -77,13 +82,8 @@ class TransformerDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             need_w = want_all or (alignment_layer is not None and i == alignment_layer)
             x, w, _ = layer(
-                x, enc,
-                enc_valid=enc_valid,
-                self_valid=self_valid,
-                causal=causal,
-                pos_table=pos_table,
-                deterministic=deterministic,
-                need_cross_weights=need_w,
+                x, enc, enc_valid, self_valid, causal, pos_table,
+                None, None, None, deterministic, need_w,
             )
             if need_w and w is not None:
                 all_w.append(w)
@@ -129,24 +129,20 @@ class TransformerDecoder(nn.Module):
         cross_w = None
         for i, layer in enumerate(self.layers):
             x, w, new_self = layer(
-                x,
-                enc_valid=enc_valid,
-                causal=True,
-                pos_table=pos_table,
-                self_cache=cache["layers"][i],
-                cross_kv=cache["cross"][i],
-                cache_index=idx,
-                deterministic=deterministic,
-                need_cross_weights=need_cross_weights,
+                x, None, enc_valid, None, True, pos_table,
+                cache["layers"][i], cache["cross"][i], idx,
+                deterministic, need_cross_weights,
             )
             new_layers.append(new_self)
             if need_cross_weights:
-                cross_w = w if cross_w is None else cross_w + w
+                cross_w = [w] if cross_w is None else cross_w + [w]
 
         if cfg.layer_norm_first:
             x = self.layer_norm(x).astype(self.dtype)
 
         new_cache = {"index": idx + 1, "layers": new_layers, "cross": cache["cross"]}
+        if cross_w is not None:
+            cross_w = jnp.stack(cross_w)  # [L, B, H, Tq, Tsrc]
         return x, new_cache, cross_w
 
 

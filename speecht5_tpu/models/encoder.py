@@ -48,8 +48,13 @@ class TransformerEncoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+        # nn.remat preserves the param scope, so checkpoints stay compatible
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(4, 5))
+            if cfg.remat else EncoderLayer
+        )
         self.layers = [
-            EncoderLayer(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
+            layer_cls(cfg, self.dtype, self.param_dtype, name=f"layers_{i}")
             for i in range(cfg.num_layers)
         ]
         self.layer_norm = nn.LayerNorm(
@@ -89,10 +94,7 @@ class TransformerEncoder(nn.Module):
         decoder_input = None
         for i, layer in enumerate(self.layers):
             def run_layer(h, layer=layer):
-                out, _ = layer(
-                    h, key_valid=valid_mask, pos_table=pos_table,
-                    deterministic=deterministic,
-                )
+                out, _ = layer(h, valid_mask, pos_table, deterministic, False)
                 return out
 
             if (not deterministic) and cfg.layerdrop > 0.0 and i != self.unb_enc_layer:

@@ -82,12 +82,13 @@ class EncoderLayer(nn.Module):
     def __call__(
         self,
         x,
-        *,
         key_valid=None,
         pos_table=None,
         deterministic: bool = True,
         return_weights: bool = False,
     ):
+        # args positional-or-keyword so nn.remat(static_argnums=(4, 5))
+        # can mark deterministic/return_weights static
         cfg = self.cfg
         residual = x
         if cfg.layer_norm_first:
@@ -152,7 +153,6 @@ class DecoderLayer(nn.Module):
         self,
         x,
         enc=None,                  # [B, Tsrc, D] encoder output (full fwd)
-        *,
         enc_valid=None,            # bool [B, Tsrc]
         self_valid=None,           # bool [B, Ttgt]
         causal: bool = True,
@@ -163,6 +163,8 @@ class DecoderLayer(nn.Module):
         deterministic: bool = True,
         need_cross_weights: bool = False,
     ):
+        # positional-or-keyword so nn.remat(static_argnums=(5, 10, 11)) can
+        # mark causal/deterministic/need_cross_weights static
         cfg = self.cfg
         use_pos = cfg.use_rel_pos_bias and pos_table is not None
 

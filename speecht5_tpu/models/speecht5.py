@@ -211,10 +211,13 @@ class SpeechT5Model(nn.Module):
     def init_speech_cache(self, enc, batch_size: int, max_len: int):
         return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
 
-    def speech_decode_step(self, prev_frame, cache, *, spkembs=None, enc_valid=None):
+    def speech_decode_step(self, prev_frame, cache, *, spkembs=None,
+                           enc_valid=None, need_attn=False):
         """One AR mel step.  prev_frame: [B, 1, n_mels] (last output frame).
 
-        Returns (frames [B, r, n_mels], stop_probs [B, r], new_cache).
+        Returns (frames [B, r, n_mels], stop_probs [B, r], new_cache, attn)
+        where attn is per-layer cross weights [L, B, H, Tsrc] (for the focus
+        rate, reference scripts/generate_speech.py:54-66) or None.
 
         Unlike the reference loop (speecht5.py:1222-1245) which reruns the prenet
         over the whole history every step (O(T^2)), the prenet here is causal
@@ -223,10 +226,13 @@ class SpeechT5Model(nn.Module):
         x, _ = self.speech_decoder_prenet(
             prev_frame, None, spkembs, position_offset=cache["index"],
         )
-        feats, new_cache, _ = self.decoder.decode_step(x, cache, enc_valid=enc_valid)
+        feats, new_cache, cross_w = self.decoder.decode_step(
+            x, cache, enc_valid=enc_valid, need_cross_weights=need_attn
+        )
         frames = self.speech_decoder_postnet.project_frames(feats)
         probs = self.speech_decoder_postnet.stop_probs(feats)
-        return frames, probs, new_cache
+        attn = cross_w[:, :, :, 0] if cross_w is not None else None
+        return frames, probs, new_cache, attn
 
     def postnet_refine(self, mel, deterministic=True):
         return self.speech_decoder_postnet.refine(mel, deterministic)

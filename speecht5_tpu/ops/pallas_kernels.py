@@ -1,0 +1,259 @@
+"""Pallas TPU kernels for the hot ops (with XLA fallbacks).
+
+1. ``fused_log_mel``: waveform -> log10-mel in ONE pass over HBM.  The XLA
+   path (ops/mel.py) materializes the framed signal ([B, frames, n_fft] — a
+   4x blowup at hop 256) plus the magnitude spectrum in HBM between fusions;
+   here each grid step DMAs a strip of raw audio into VMEM, builds the
+   overlapping frames with static slices of a [rows, hop] view (no gathers),
+   and runs window+DFT+mel+log on the MXU/VPU without touching HBM until the
+   final [block, n_mels] write.
+
+2. ``flash_attention_bias``: streaming-softmax attention with an additive
+   bias (the SpeechT5 relative-position term, reference
+   multihead_attention.py:343-353) and key masking.  Never materializes
+   [T, T] probabilities in HBM: for each query block the kernel walks key
+   blocks keeping running (max, sum, accumulator).  The bias is precomputed
+   by the caller (attention.relative_bias — a [T, 2M] einsum + gather-free
+   skew); Mosaic has no in-kernel gather/rev, so folding the skew into the
+   kernel is left as future work.
+
+Both kernels run in interpret mode off-TPU so the same tests cover CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mel import hann_window, mel_filterbank, _dft_matrices
+
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ============================================================ fused log-mel
+
+
+def _mel_kernel(wav_rows_ref, cos_ref, sin_ref, mel_ref, out_ref, strip_ref,
+                sem, *, fb: int, hop: int, n_fft: int, eps: float):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    k_windows = n_fft // hop
+
+    # overlapping frames: frame i spans hop-rows i..i+k-1.  The k shifted row
+    # views are prebuilt outside (wav_rows_ref [k_windows, B, rows, hop]) so
+    # every DMA offset is a multiple of fb — Mosaic requires provably
+    # 8-aligned sublane offsets.  The DFT accumulates per hop-window:
+    # re[i, :] = sum_k strip_k[i, :] @ (win*cos)[k*hop:(k+1)*hop].
+    for k in range(k_windows):
+        pltpu.make_async_copy(
+            wav_rows_ref.at[k, b, pl.ds(blk * fb, fb), :],
+            strip_ref.at[k],
+            sem.at[k],
+        ).start()
+    re = jnp.zeros((fb, cos_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((fb, cos_ref.shape[1]), jnp.float32)
+    for k in range(k_windows):
+        pltpu.make_async_copy(
+            wav_rows_ref.at[k, b, pl.ds(blk * fb, fb), :],
+            strip_ref.at[k],
+            sem.at[k],
+        ).wait()
+        part = strip_ref[k]                          # [fb, hop]
+        re += jnp.dot(part, cos_ref[pl.ds(k * hop, hop), :],
+                      preferred_element_type=jnp.float32)
+        im += jnp.dot(part, sin_ref[pl.ds(k * hop, hop), :],
+                      preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im + 1e-30)
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log10(jnp.maximum(eps, mel))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "n_fft", "hop", "n_mels", "fmin", "fmax", "eps",
+                     "block_frames"),
+)
+def fused_log_mel(
+    wav,
+    *,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 80,
+    fmin: float = 80.0,
+    fmax: float = 7600.0,
+    eps: float = 1e-10,
+    block_frames: int = 128,
+):
+    """[B, T] waveform -> [B, 1 + T//hop, n_mels] log10-mel (librosa parity,
+    same contract as ops.mel.log_mel_spectrogram)."""
+    assert n_fft % hop == 0, "fused kernel needs hop | n_fft"
+    B, T = wav.shape
+    n_frames = 1 + T // hop
+    k_windows = n_fft // hop
+
+    fb = block_frames
+    n_blocks = -(-n_frames // fb)
+
+    # reflect pad (center=True) + tail pad so every block's strip is in range;
+    # one shifted [rows, hop] view per window offset k (aligned kernel DMAs)
+    rows = n_blocks * fb
+    need = (rows + k_windows - 1) * hop
+    x = jnp.pad(wav.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)),
+                mode="reflect")
+    x = jnp.pad(x, ((0, 0), (0, max(0, need - x.shape[1]))))
+    wav_rows = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(x, k * hop, rows * hop, axis=1)
+            .reshape(B, rows, hop)
+            for k in range(k_windows)
+        ],
+        axis=0,
+    )
+
+    n_bins = 1 + n_fft // 2
+    bins_p = _round_up(n_bins, 128)
+    mels_p = _round_up(n_mels, 128)
+    win = hann_window(n_fft)[:, None]
+    cos_b, sin_b = _dft_matrices(n_fft)
+    cos_p = np.zeros((n_fft, bins_p), np.float32)
+    sin_p = np.zeros((n_fft, bins_p), np.float32)
+    cos_p[:, :n_bins] = cos_b * win
+    sin_p[:, :n_bins] = sin_b * win
+    mel_p = np.zeros((bins_p, mels_p), np.float32)
+    mel_p[:n_bins, :n_mels] = mel_filterbank(sr, n_fft, n_mels, fmin, fmax).T
+    # padded mel columns would hit log10(eps); harmless (sliced off) but keep
+    # them finite
+    out = pl.pallas_call(
+        functools.partial(
+            _mel_kernel, fb=fb, hop=hop, n_fft=n_fft, eps=eps
+        ),
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),    # wav rows stay in HBM
+            pl.BlockSpec((n_fft, bins_p), lambda b, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, bins_p), lambda b, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins_p, mels_p), lambda b, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, fb, mels_p), lambda b, f: (b, f, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_blocks * fb, mels_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k_windows, fb, hop), jnp.float32),
+            pltpu.SemaphoreType.DMA((k_windows,)),
+        ],
+        interpret=_interpret(),
+    )(wav_rows, jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(mel_p))
+    return out[:, :n_frames, :n_mels]
+
+
+# ===================================================== flash attention + bias
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                  *, kb: int, scale: float):
+    """One (batch*head, q-block) program: stream key blocks with running
+    softmax.  q_ref [1, BQ, D]; k/v_ref [1, T, D]; bias_ref [1, BQ, T]
+    (key masking folded into the bias as NEG_INF by the caller)."""
+    q = q_ref[0]                                      # [BQ, D]
+    T = k_ref.shape[1]
+    BQ = q.shape[0]
+    n_kb = T // kb
+
+    m = jnp.full((BQ, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((BQ, 1), jnp.float32)
+    acc = jnp.zeros((BQ, q.shape[1]), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * kb, kb), :]            # [KB, D]
+        v = v_ref[0, pl.ds(i * kb, kb), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # [BQ, KB]
+        s = s + bias_ref[0, :, pl.ds(i * kb, kb)].astype(jnp.float32)
+
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention_bias(
+    q, k, v, bias, key_valid=None, *, block_q: int = 128, block_k: int = 128
+):
+    """Streaming attention with additive bias.
+
+    q/k/v: [N, T, D] (N = batch*heads, q pre-scaled NOT applied — pass raw q);
+    bias: [N, Tq, Tk] additive logits term (e.g. rel-pos);
+    key_valid: bool [N, Tk] or None.
+    Returns [N, Tq, D] in q.dtype.  Probabilities never touch HBM.
+    """
+    N, Tq, D = q.shape
+    Tk = k.shape[1]
+    scale = 1.0  # caller scales q (matches MultiheadAttention convention)
+
+    bq = min(block_q, _round_up(Tq, 8))
+    bk = min(block_k, _round_up(Tk, 8))
+    Tq_p = _round_up(Tq, bq)
+    Tk_p = _round_up(Tk, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, Tq_p - Tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Tk_p - Tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Tk_p - Tk), (0, 0)))
+    bp = jnp.pad(bias.astype(jnp.float32),
+                 ((0, 0), (0, Tq_p - Tq), (0, Tk_p - Tk)))
+    # fold key mask + tail padding into the bias
+    if key_valid is not None:
+        kv = jnp.pad(key_valid, ((0, 0), (0, Tk_p - Tk)))
+    else:
+        kv = jnp.arange(Tk_p)[None, :] < Tk
+        kv = jnp.broadcast_to(kv, (N, Tk_p))
+    bp = jnp.where(kv[:, None, :], bp, NEG_INF)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kb=bk, scale=scale),
+        grid=(N, Tq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda n, i: (n, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D), lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Tk_p, D), lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, Tk_p), lambda n, i: (n, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda n, i: (n, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Tq_p, D), q.dtype),
+        interpret=_interpret(),
+    )(qp, kp, vp, bp)
+    return out[:, :Tq]

@@ -92,8 +92,10 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def _loss_for_task(model, task: str, cfg: TrainConfig):
+def _loss_for_task(model, task: str, cfg: TrainConfig,
+                   deterministic: bool = False):
     mcfg = model.cfg
+    det = deterministic
 
     def s2t(params, extra, batch, rng, step):
         variables = {"params": params, **extra}
@@ -101,7 +103,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
                 "layerdrop": jax.random.fold_in(rng, 2)}
         logits, ctc_logits, enc_valid = model.apply(
             variables, batch["wav"], batch["wav_lengths"],
-            batch["prev_tokens"], mask=True, deterministic=False,
+            batch["prev_tokens"], mask=not det, deterministic=det,
             rngs=rngs, method="forward_s2t",
         )
         loss, metrics = criterions.s2t_loss(
@@ -119,7 +121,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         out, updates = model.apply(
             variables, batch["tokens"], batch["prev_mel"],
             batch["dec_lengths_r"], batch.get("spkembs"),
-            deterministic=False, rngs=rngs, mutable=["batch_stats"],
+            deterministic=det, rngs=rngs, mutable=["batch_stats"],
             method="forward_t2s",
         )
         before, after, stop_logits, attn = out
@@ -143,7 +145,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         out, updates = model.apply(
             variables, batch["wav"], batch["wav_lengths"], batch["prev_mel"],
             batch["dec_lengths_r"], batch.get("spkembs"),
-            num_updates=step, deterministic=False, rngs=rngs,
+            num_updates=step, deterministic=det, rngs=rngs,
             mutable=["batch_stats"], method="forward_pretrain_speech",
         )
         enc_lengths = out["valid_mask"].astype(jnp.int32).sum(-1)
@@ -162,7 +164,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
         out, updates = model.apply(
             variables, batch["wav"], batch["wav_lengths"], batch["prev_mel"],
             batch["dec_lengths_r"], batch.get("spkembs"),
-            deterministic=False, rngs=rngs, mutable=["batch_stats"],
+            deterministic=det, rngs=rngs, mutable=["batch_stats"],
             method="forward_s2s",
         )
         before, after, stop_logits, attn, enc_valid = out
@@ -182,7 +184,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
                 "layerdrop": jax.random.fold_in(rng, 2)}
         out, updates = model.apply(
             variables, batch["wav"], batch["wav_lengths"], batch["targets"],
-            mask=False, deterministic=False, rngs=rngs,
+            mask=False, deterministic=det, rngs=rngs,
             mutable=["batch_stats"], method="forward_s2c",
         )
         logits, _embed = out
@@ -198,7 +200,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig):
                 "gumbel": jax.random.fold_in(rng, 3)}
         out = model.apply(
             variables, batch["tokens"], batch["prev_tokens"],
-            num_updates=step, deterministic=False, rngs=rngs,
+            num_updates=step, deterministic=det, rngs=rngs,
             method="forward_pretrain_text",
         )
         loss, metrics = criterions.text_pretrain_loss(
@@ -320,3 +322,36 @@ class Trainer:
         batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
         self.state, metrics = self._step(self.state, batch, rng)
         return metrics
+
+    def eval_step(self, batch, rng=None):
+        """Loss-only validation step (no grads, deterministic settings where
+        the criterion allows).  For s2t it additionally returns the greedy
+        CTC token ids so the caller can compute in-training WER/UER
+        (the reference's valid-time WER, speech_to_text_loss.py:232-297)."""
+        if not hasattr(self, "_eval_step"):
+            loss_fn = _loss_for_task(
+                self.model, self.task, self.cfg, deterministic=True
+            )
+
+            def step_fn(params, extra, batch, rng):
+                loss, (metrics, _) = loss_fn(
+                    params, extra, batch, rng, jnp.zeros((), jnp.int32)
+                )
+                out = dict(metrics)
+                if self.task == "s2t":
+                    variables = {"params": params, **extra}
+                    enc = self.model.apply(
+                        variables, batch["wav"], batch["wav_lengths"],
+                        mask=False, deterministic=True, with_ctc=True,
+                        method="encode_speech",
+                    )
+                    out["_ctc_ids"] = jnp.argmax(enc["ctc_logits"], axis=-1)
+                    out["_enc_lengths"] = (
+                        enc["valid_mask"].astype(jnp.int32).sum(-1)
+                    )
+                return out
+
+            self._eval_step = jax.jit(step_fn)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
+        return self._eval_step(self.state.params, self.state.extra, batch, rng)

@@ -78,11 +78,16 @@ class MetricsLogger:
             except ImportError:
                 pass
 
-    def update(self, metrics: Dict, n: int = 1, step: int = None):
+    def update(self, metrics: Dict, n: int = 1, step: int = None,
+               prefix: str = ""):
+        """``prefix`` gives per-task meter breakdowns during multitask
+        training (the reference's reduce_metrics registers per-task derived
+        meters, criterions/speecht5_criterion.py:122-436)."""
         for k, v in metrics.items():
-            self.meters.setdefault(k, Meter()).update(float(v), n)
+            key = f"{prefix}/{k}" if prefix else k
+            self.meters.setdefault(key, Meter()).update(float(v), n)
             if self.writer is not None and step is not None:
-                self.writer.add_scalar(k, float(v), step)
+                self.writer.add_scalar(key, float(v), step)
 
     def averages(self) -> Dict[str, float]:
         return {k: m.avg for k, m in self.meters.items()}

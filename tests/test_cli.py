@@ -75,6 +75,36 @@ def test_train_then_evaluate_overfit(corpus):
     assert result["value"] < 0.10, f"overfit WER too high: {result}"
 
 
+def test_validation_loop_with_ctc_wer(corpus, capsys):
+    """Validation runs at --valid-interval and reports loss + greedy-CTC
+    UER/WER (the reference's in-training WER,
+    speech_to_text_loss.py:232-297)."""
+    import json as _json
+    from speecht5_tpu.cli.train import main as train_main
+
+    save = corpus / "ckpt_valid"
+    train_main([
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+        "--task", "s2t", "--save-dir", str(save),
+        "--max-updates", "8", "--batch-size", "8",
+        "--mask-prob", "0", "--ctc-weight", "0.3",
+        "--valid-manifest", str(corpus / "train.tsv"),
+        "--valid-labels", str(corpus / "train.ltr"),
+        "--valid-interval", "8", "--save-interval", "8",
+        "--log-interval", "100",
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    valid = [_json.loads(l) for l in lines if "valid_loss" in l]
+    assert valid, f"no validation line in {lines}"
+    v = valid[0]
+    assert "valid_uer" in v and "valid_wer" in v
+    assert 0.0 <= v["valid_wer"] <= 1.5
+
+
 def test_train_resume(corpus):
     """Checkpoint/resume: a second invocation picks up at the saved step."""
     from speecht5_tpu.cli.train import main as train_main

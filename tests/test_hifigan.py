@@ -190,6 +190,10 @@ class TestGenerator:
         )
         assert out.wav is not None
         assert out.wav.shape == (1, out.mel.shape[1] * 8)  # 4*2 upsampling
+        # focus rate (reference generate_speech.py:54-66): a valid attention
+        # max-prob average, in (0, 1]
+        fr = float(out.focus_rate[0])
+        assert 0.0 < fr <= 1.0 + 1e-6
         assert int(out.wav_lengths[0]) == int(out.lengths[0]) * 8
         # waveform equals the vocoder applied to the refined mel
         direct = voc.apply(vvars, out.mel)

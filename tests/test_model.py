@@ -118,7 +118,7 @@ class TestDecoderParity:
         cache = model.apply(variables, enc, 1, 8, method="init_speech_cache")
         frames_all = []
         for t in range(Tr):
-            frames, probs, cache = model.apply(
+            frames, probs, cache, _ = model.apply(
                 variables, prev_mel[:, t : t + 1], cache, spkembs=spk,
                 enc_valid=enc["valid_mask"], method="speech_decode_step",
             )

@@ -1,0 +1,110 @@
+"""Pallas kernel parity tests (interpret mode on CPU; same code compiles on
+TPU — see bench_kernels.py for the measured speedups)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speecht5_tpu.ops.mel import log_mel_spectrogram, log_mel_numpy
+from speecht5_tpu.ops.pallas_kernels import fused_log_mel, flash_attention_bias
+from speecht5_tpu.models.attention import relative_bias
+
+
+class TestFusedLogMel:
+    def test_matches_numpy_reference(self, rng):
+        wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.2
+        got = np.asarray(fused_log_mel(
+            jnp.asarray(wav), n_fft=512, hop=128, n_mels=24, block_frames=32
+        ))
+        for b in range(2):
+            want = log_mel_numpy(wav[b], n_fft=512, hop=128, n_mels=24)
+            assert got[b].shape == want.shape
+            np.testing.assert_allclose(got[b], want, atol=2e-3)
+
+    def test_matches_xla_path(self, rng):
+        wav = rng.standard_normal((1, 12800)).astype(np.float32) * 0.1
+        got = np.asarray(fused_log_mel(
+            jnp.asarray(wav), n_fft=512, hop=128, n_mels=24, block_frames=16
+        ))
+        want = np.asarray(log_mel_spectrogram(
+            jnp.asarray(wav), n_fft=512, hop=128, n_mels=24
+        ))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_non_divisible_frames(self, rng):
+        """Frame count not a multiple of the block: tail handled by padding."""
+        wav = rng.standard_normal((1, 5000)).astype(np.float32)
+        got = np.asarray(fused_log_mel(
+            jnp.asarray(wav), n_fft=512, hop=128, n_mels=24, block_frames=32
+        ))
+        want = log_mel_numpy(wav[0], n_fft=512, hop=128, n_mels=24)
+        assert got.shape == (1,) + want.shape
+        np.testing.assert_allclose(got[0], want, atol=2e-3)
+
+
+class TestFlashAttentionBias:
+    def _reference(self, q, k, v, bias, valid):
+        s = np.einsum("nqd,nkd->nqk", q, k) + bias
+        if valid is not None:
+            s = np.where(valid[:, None, :], s, -1e9)
+        s = s - s.max(-1, keepdims=True)
+        p = np.exp(s)
+        p = p / p.sum(-1, keepdims=True)
+        return np.einsum("nqk,nkd->nqd", p, v)
+
+    def test_matches_dense_attention(self, rng):
+        N, T, D = 3, 64, 32
+        q = rng.standard_normal((N, T, D)).astype(np.float32) * 0.3
+        k = rng.standard_normal((N, T, D)).astype(np.float32) * 0.3
+        v = rng.standard_normal((N, T, D)).astype(np.float32)
+        bias = rng.standard_normal((N, T, T)).astype(np.float32) * 0.5
+        valid = np.ones((N, T), bool)
+        valid[1, 40:] = False
+        got = np.asarray(flash_attention_bias(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias), jnp.asarray(valid),
+            block_q=32, block_k=32,
+        ))
+        want = self._reference(q, k, v, bias, valid)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_with_relative_position_bias(self, rng):
+        """End-to-end with the SpeechT5 rel-pos term from relative_bias()."""
+        B, H, T, Dh, M = 2, 2, 48, 16, 8
+        q = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32) * 0.2
+        k = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32) * 0.2
+        v = jnp.asarray(rng.standard_normal((B, T, H, Dh)), jnp.float32)
+        table = jnp.asarray(rng.standard_normal((2 * M, Dh)), jnp.float32) * 0.1
+        pos = jnp.arange(T)
+        bias = relative_bias(q, table, pos, pos, M)   # [B, H, T, T]
+
+        qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        bf = bias.reshape(B * H, T, T)
+        got = np.asarray(flash_attention_bias(
+            qf, kf, vf, bf, block_q=16, block_k=16
+        ))
+        want = self._reference(
+            np.asarray(qf), np.asarray(kf), np.asarray(vf),
+            np.asarray(bf), None,
+        )
+        np.testing.assert_allclose(got, want, atol=3e-4)
+
+    def test_uneven_lengths_padding(self, rng):
+        """Tq/Tk not multiples of the blocks."""
+        N, Tq, Tk, D = 2, 37, 53, 16
+        q = rng.standard_normal((N, Tq, D)).astype(np.float32) * 0.3
+        k = rng.standard_normal((N, Tk, D)).astype(np.float32) * 0.3
+        v = rng.standard_normal((N, Tk, D)).astype(np.float32)
+        bias = np.zeros((N, Tq, Tk), np.float32)
+        valid = np.ones((N, Tk), bool)
+        valid[0, 30:] = False
+        got = np.asarray(flash_attention_bias(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(bias), jnp.asarray(valid),
+            block_q=16, block_k=16,
+        ))
+        want = self._reference(q, k, v, bias, valid)
+        np.testing.assert_allclose(got, want, atol=2e-4)
