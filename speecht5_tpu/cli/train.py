@@ -51,6 +51,20 @@ def build_dataset(args, dictionary, cfg):
             n_mels=cfg.n_mels, reduction_factor=cfg.reduction_factor,
             normalize=args.normalize,
         )
+    if args.task == "pretrain":
+        # joint speech+text pretraining (reference tasks/speecht5.py:396-517)
+        speech = M.SpeechPretrainDataset(
+            manifest=args.manifest, km_labels=args.labels,
+            n_mels=cfg.n_mels, reduction_factor=cfg.reduction_factor,
+            normalize=args.normalize,
+        )
+        text = M.TextPretrainDataset(
+            text_file=args.text_file, dictionary=dictionary,
+            tokens_per_sample=args.tokens_per_sample,
+            bos_id=cfg.bos_id, eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+            mask_id=dictionary.index("<mask>"), seed=args.seed,
+        )
+        return {"pretrain_speech": speech, "pretrain_text": text}
     raise ValueError(f"unknown task {args.task}")
 
 
@@ -125,7 +139,13 @@ def run_validation(trainer, ds, args, cfg, dictionary):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", required=True,
-                   choices=["s2t", "t2s", "s2s", "s2c", "pretrain_speech"])
+                   choices=["s2t", "t2s", "s2s", "s2c", "pretrain_speech",
+                            "pretrain"])
+    p.add_argument("--text-file", default=None,
+                   help="raw text corpus for --task pretrain")
+    p.add_argument("--tokens-per-sample", type=int, default=512)
+    p.add_argument("--text-ratio", type=float, default=1.0,
+                   help="text batches per speech batch in joint pretraining")
     p.add_argument("--arch", default="speecht5_base",
                    help="config preset name in speecht5_tpu.config")
     p.add_argument("--manifest", required=True)
@@ -228,8 +248,11 @@ def main(argv=None):
         ctc_weight=args.ctc_weight, label_smoothing=args.label_smoothing,
         use_guided_attn=args.guided_attn, total_steps=args.max_updates,
     )
-    trainer = Trainer(model, variables, args.task, tcfg, mesh=mesh,
-                      fsdp=args.fsdp)
+    multitask = isinstance(ds, dict)
+    trainer = Trainer(
+        model, variables, list(ds.keys()) if multitask else args.task,
+        tcfg, mesh=mesh, fsdp=args.fsdp,
+    )
     mgr = CheckpointManager(args.save_dir)
     logger = MetricsLogger(args.save_dir)
 
@@ -245,21 +268,52 @@ def main(argv=None):
             batch0 = data_state.get("batch", 0)
         print(f"resumed at step {step}", flush=True)
 
+    def epoch_batches(epoch: int):
+        """[(task_name, item_indices)] — modality-pure batches, deterministic
+        ratio-balanced interleave for joint pretraining (the reference's
+        MultitaskDataset semantics, data/multitask_dataset.py:147-177)."""
+        if not multitask:
+            return [(args.task, idxs)
+                    for idxs in make_batches(ds.sizes, args, args.seed + epoch)]
+        tagged = []
+        for name, d in ds.items():
+            bs = make_batches(d.sizes, args, args.seed + epoch)
+            reps = args.text_ratio if name == "pretrain_text" else 1.0
+            n = max(int(round(len(bs) * reps)), 1)
+            tagged += [(name, bs[i % len(bs)]) for i in range(n)]
+        np.random.default_rng(args.seed + 31 * epoch).shuffle(tagged)
+        return tagged
+
+    def collate_for(task_name, d, items, epoch):
+        if task_name == "pretrain_speech":
+            b = d.collate(items, cfg.conv_features.out_length)
+        elif task_name == "pretrain_text":
+            b = d.collate(items, epoch=epoch)
+        else:
+            b = collate_batch(args, d, items, cfg, model)
+            return b
+        b.pop("ids", None)
+        return b
+
     rng = jax.random.PRNGKey(args.seed + 7)
     epoch = epoch0
     done = step >= args.max_updates
     while not done:
-        batches = make_batches(ds.sizes, args, args.seed + epoch)
-        for bi, idxs in enumerate(batches):
+        batches = epoch_batches(epoch)
+        for bi, (task_name, idxs) in enumerate(batches):
             if epoch == epoch0 and bi < batch0:
                 continue
-            items = [ds[int(i)] for i in idxs]
-            batch = collate_batch(args, ds, items, cfg, model)
+            d = ds[task_name] if multitask else ds
+            items = [d[int(i)] for i in idxs]
+            batch = collate_for(task_name, d, items, epoch)
             rng, sub = jax.random.split(rng)
-            metrics = trainer.train_step(batch, sub)
+            metrics = trainer.train_step(
+                batch, sub, task=task_name if multitask else None
+            )
             step += 1
             logger.update(
-                {k: float(v) for k, v in metrics.items()}, step=step
+                {k: float(v) for k, v in metrics.items()}, step=step,
+                prefix=task_name if multitask else "",
             )
             if step % args.log_interval == 0:
                 avg = logger.averages()

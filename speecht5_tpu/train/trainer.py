@@ -259,14 +259,21 @@ def make_train_step(model, task: str, cfg: TrainConfig):
 
 
 class Trainer:
-    """Sharded training driver: one Mesh, pjitted step."""
+    """Sharded training driver: one Mesh, pjitted step.
 
-    def __init__(self, model, variables, task: str, cfg: TrainConfig,
+    ``task`` may be a single task name or a list for joint multitask
+    pretraining: every task gets its own jitted step program, all donating
+    and returning the SAME TrainState (one shared optimizer over modality-
+    pure batches — the reference's MultitaskDataset + fairseq update
+    semantics, SURVEY.md 2.1/3.1)."""
+
+    def __init__(self, model, variables, task, cfg: TrainConfig,
                  mesh=None, fsdp: bool = False):
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.task = task
+        self.tasks = [task] if isinstance(task, str) else list(task)
+        self.task = self.tasks[0]
 
         # deep-copy: train_step donates its state, and device_put may alias the
         # caller's buffers on the same device — without the copy the caller's
@@ -307,20 +314,24 @@ class Trainer:
             jax.tree_util.tree_map(lambda x: replicated(self.mesh), extra),
         )
 
-        step = make_train_step(model, task, cfg)
-        self._step = jax.jit(
-            step,
-            in_shardings=(self.state_shardings, None, None),
-            out_shardings=(self.state_shardings, None),
-            donate_argnums=(0,),
-        )
+        self._steps = {
+            t: jax.jit(
+                make_train_step(model, t, cfg),
+                in_shardings=(self.state_shardings, None, None),
+                out_shardings=(self.state_shardings, None),
+                donate_argnums=(0,),
+            )
+            for t in self.tasks
+        }
+        self._step = self._steps[self.task]
 
         # place state according to shardings
         self.state = jax.device_put(self.state, self.state_shardings)
 
-    def train_step(self, batch, rng):
+    def train_step(self, batch, rng, task: Optional[str] = None):
         batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
-        self.state, metrics = self._step(self.state, batch, rng)
+        step = self._steps[task] if task is not None else self._step
+        self.state, metrics = step(self.state, batch, rng)
         return metrics
 
     def eval_step(self, batch, rng=None):

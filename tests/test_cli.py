@@ -105,6 +105,52 @@ def test_validation_loop_with_ctc_wer(corpus, capsys):
     assert 0.0 <= v["valid_wer"] <= 1.5
 
 
+def test_joint_pretrain_multitask(tmp_path, capsys):
+    """--task pretrain: joint speech+text pretraining with modality-pure
+    interleaved batches sharing ONE optimizer state (reference
+    MultitaskDataset + tasks/speecht5.py:396-517)."""
+    import json as _json
+    import numpy as np
+    from speecht5_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "audio"
+    root.mkdir()
+    n = 4000
+    rows, kms = [], []
+    for i in range(8):
+        write_wav(str(root / f"p{i}.wav"), rng.standard_normal(n) * 0.1)
+        rows.append(f"p{i}.wav\t{n}")
+        kms.append(" ".join(str(x) for x in rng.integers(0, 16, 60)))
+    (tmp_path / "pre.tsv").write_text(str(root) + "\n" + "\n".join(rows) + "\n")
+    (tmp_path / "pre.km").write_text("\n".join(kms) + "\n")
+    (tmp_path / "corpus.txt").write_text(
+        "\n".join("H E L L O | W O R L D |" for _ in range(20)) + "\n"
+    )
+    (tmp_path / "dict.txt").write_text(
+        "\n".join(f"{s} 5" for s in "| E H L O W R D") + "\n"
+    )
+
+    train_main([
+        "--task", "pretrain", "--arch", "speecht5_tiny",
+        "--manifest", str(tmp_path / "pre.tsv"),
+        "--labels", str(tmp_path / "pre.km"),
+        "--text-file", str(tmp_path / "corpus.txt"),
+        "--dict", str(tmp_path / "dict.txt"),
+        "--tokens-per-sample", "24",
+        "--save-dir", str(tmp_path / "ckpt"),
+        "--max-updates", "4", "--batch-size", "8",
+        "--log-interval", "1", "--save-interval", "4",
+    ])
+    lines = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    keys = set().union(*[set(l) for l in lines])
+    assert any(k.startswith("pretrain_speech/") for k in keys), keys
+    assert any(k.startswith("pretrain_text/") for k in keys), keys
+    losses = [v for l in lines for k, v in l.items() if k.endswith("/loss")]
+    assert losses and all(np.isfinite(losses))
+
+
 def test_train_resume(corpus):
     """Checkpoint/resume: a second invocation picks up at the saved step."""
     from speecht5_tpu.cli.train import main as train_main
