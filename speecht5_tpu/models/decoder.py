@@ -99,13 +99,18 @@ class TransformerDecoder(nn.Module):
     # ---- incremental decoding ----
 
     def init_cache(self, enc, batch_size: int, max_len: int, cache_dtype=None):
-        """Build the decode cache: zeroed self-attn buffers + precomputed cross K/V."""
+        """Build the decode cache: zeroed self-attn buffers + precomputed cross
+        K/V.  ``enc=None`` builds a decoder-only cache (no cross attention —
+        codec-LM use, e.g. VALL-E X AR stage)."""
         cfg = self.cfg
         dt = cache_dtype or self.dtype
         H, Dh = cfg.num_heads, cfg.head_dim
         zeros = jnp.zeros((batch_size, max_len, H, Dh), dt)
         layers = [{"k": zeros, "v": zeros} for _ in range(cfg.num_layers)]
-        cross = [layer.init_cross_kv(enc) for layer in self.layers]
+        cross = [
+            layer.init_cross_kv(enc) if enc is not None else None
+            for layer in self.layers
+        ]
         return {"index": jnp.zeros((), jnp.int32), "layers": layers, "cross": cross}
 
     def decode_step(
@@ -140,7 +145,9 @@ class TransformerDecoder(nn.Module):
         if cfg.layer_norm_first:
             x = self.layer_norm(x).astype(self.dtype)
 
-        new_cache = {"index": idx + 1, "layers": new_layers, "cross": cache["cross"]}
+        # advance by the number of positions written (prefill passes Tq > 1)
+        new_cache = {"index": idx + x.shape[1], "layers": new_layers,
+                     "cross": cache["cross"]}
         if cross_w is not None:
             cross_w = jnp.stack(cross_w)  # [L, B, H, Tq, Tsrc]
         return x, new_cache, cross_w
@@ -149,5 +156,8 @@ class TransformerDecoder(nn.Module):
 def reorder_cache(cache, order):
     """Gather all batch-major cache tensors by ``order`` (beam reordering)."""
     layers = [{k: v[order] for k, v in l.items()} for l in cache["layers"]]
-    cross = [{k: v[order] for k, v in l.items()} for l in cache["cross"]]
+    cross = [
+        {k: v[order] for k, v in l.items()} if l is not None else None
+        for l in cache["cross"]
+    ]
     return {"index": cache["index"], "layers": layers, "cross": cross}
