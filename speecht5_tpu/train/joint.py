@@ -37,6 +37,87 @@ class JointLossConfig:
     pred_nomask_weight: float = 0.0
 
 
+def make_speechlm_joint_loss(model, jcfg: JointLossConfig):
+    """SpeechLM joint step (reference speechlm/criterions/speechlm_criterion.py
+    :66-200): speech branch = dual HuBERT losses (level 0 pre-mix + level 1
+    post-unit-encoder) + optional l2 embedding tie; text branch = masked-unit
+    LM (+ char CTC vs paired char targets when present).
+
+    batch = {
+      "speech": {wav, wav_lengths, units},
+      "text":   {units [, char_targets]} or None,
+    }
+    """
+    mcfg = model.cfg
+
+    def loss_fn(params, batch, rng):
+        variables = {"params": params}
+        metrics = {}
+        sp = batch["speech"]
+        rngs = {"mask": rng, "dropout": jax.random.fold_in(rng, 1),
+                "mix": jax.random.fold_in(rng, 2)}
+        out = model.apply(
+            variables, sp["wav"], sp["wav_lengths"], sp["units"],
+            mask=True, deterministic=False, rngs=rngs,
+            method="forward_speech",
+        )
+        loss, m = criterions.hubert_loss(
+            [out["logits_0"], out["logits_1"]], [sp["units"], sp["units"]],
+            out["time_mask"], out["valid_mask"],
+            pred_masked_weight=jcfg.pred_masked_weight,
+            pred_nomask_weight=jcfg.pred_nomask_weight,
+        )
+        metrics.update({f"speech_{k}": v for k, v in m.items()})
+        if out.get("l2_loss") is not None:
+            loss = loss + out["l2_loss"]
+            metrics["l2_loss"] = out["l2_loss"]
+        sample_size = (out["time_mask"] & out["valid_mask"]).sum()
+
+        tx = batch.get("text")
+        if tx is not None:
+            rngs_t = {"mask": jax.random.fold_in(rng, 3),
+                      "dropout": jax.random.fold_in(rng, 4)}
+            t_out = model.apply(
+                variables, tx["units"], mask=True, deterministic=False,
+                rngs=rngs_t, method="forward_text",
+            )
+            if jcfg.text_mum_weight > 0 and "mum_logits" in t_out:
+                mum_loss, mm = criterions.hubert_loss(
+                    [t_out["mum_logits"]], [tx["units"]],
+                    t_out["time_mask"], t_out["valid_mask"],
+                    pred_masked_weight=jcfg.pred_masked_weight,
+                    pred_nomask_weight=jcfg.pred_nomask_weight,
+                )
+                msize = jnp.maximum(
+                    (t_out["time_mask"] & t_out["valid_mask"]).sum(), 1
+                )
+                loss = loss + jcfg.text_mum_weight * mum_loss * (
+                    sample_size / msize
+                )
+                metrics.update({f"mum_{k}": v for k, v in mm.items()})
+            if (jcfg.u2t_ctc_weight > 0 and "ctc_logits" in t_out
+                    and "char_targets" in tx):
+                from ..ops.ctc import ctc_loss
+
+                lp = jax.nn.log_softmax(
+                    t_out["ctc_logits"].astype(jnp.float32), axis=-1
+                )
+                in_lengths = t_out["valid_mask"].astype(jnp.int32).sum(-1)
+                ct = tx["char_targets"]
+                ct_lengths = (ct != mcfg.pad_id).astype(jnp.int32).sum(-1)
+                nll = ctc_loss(lp, in_lengths, ct, ct_lengths, 0)
+                tsize = jnp.maximum(ct_lengths.sum(), 1)
+                ctc = nll.sum() / tsize
+                loss = loss + jcfg.u2t_ctc_weight * ctc * (sample_size / tsize)
+                metrics["char_ctc_loss"] = ctc
+
+        metrics["loss"] = loss
+        metrics["sample_size"] = sample_size
+        return loss, metrics
+
+    return loss_fn
+
+
 def make_speechut_joint_loss(model, jcfg: JointLossConfig):
     """Returns loss_fn(params, batch, rng) -> (loss, metrics).
 

@@ -74,6 +74,13 @@ class CheckpointManager:
             pass
         return restored["state"], data, step
 
+    def save_model_only(self, step: int, model: dict):
+        """Save just the weights item (converter output, no train state)."""
+        ocp = _ocp()
+        self.mngr.save(
+            step, args=ocp.args.Composite(model=ocp.args.StandardSave(model))
+        )
+
     def restore_model(self, variables_template, step: Optional[int] = None):
         """Restore just the weights item saved via ``save(..., model=...)``."""
         ocp = _ocp()

@@ -1,0 +1,62 @@
+"""Converter CLI: fairseq .pt -> orbax model dir -> restore round trip."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from speecht5_tpu.config import speecht5_tiny
+from speecht5_tpu.models.speecht5 import init_model
+from speecht5_tpu.utils.checkpoint import CheckpointManager
+
+
+def test_pt_to_orbax_round_trip(tmp_path):
+    from speecht5_tpu.cli.convert import main as convert_main
+
+    cfg = speecht5_tiny()
+    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+
+    # a partial fairseq checkpoint: just the rel-pos table and the CTC head
+    M = cfg.encoder.rel_pos.max_distance
+    pe = np.random.default_rng(0).standard_normal(
+        (2 * M, cfg.encoder.head_dim)
+    ).astype(np.float32)
+    proj_w = np.random.default_rng(1).standard_normal(
+        (cfg.vocab_size, cfg.d_model)
+    ).astype(np.float32)
+    sd = {
+        "encoder.pos_emb.pe_k.weight": torch.tensor(pe),
+        "encoder.proj.weight": torch.tensor(proj_w),
+        "encoder.proj.bias": torch.zeros(cfg.vocab_size),
+    }
+    pt = tmp_path / "partial.pt"
+    torch.save({"model": sd, "cfg": {}}, str(pt))
+
+    out = tmp_path / "converted"
+    report = convert_main([
+        "--pt", str(pt), "--arch", "speecht5_tiny", "--out", str(out),
+        "--vocab-size", str(cfg.vocab_size),
+    ])
+    assert not report["unknown_keys"]
+    assert not report["shape_mismatches"]
+    # missing params are expected (partial checkpoint) and kept at init
+    assert report["missing_params"]
+
+    restored, step = CheckpointManager(str(out)).restore_model(variables)
+    assert step == 0
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["encoder"]["pos_emb"]["pe_k"]["embedding"]),
+        pe, rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["encoder"]["proj"]["kernel"]),
+        proj_w.T, rtol=1e-6,
+    )
+    # untouched params match the fresh init (partial_load keeps target)
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["text_encoder_prenet"]["embed_tokens"]["embedding"]),
+        np.asarray(variables["params"]["text_encoder_prenet"]["embed_tokens"]["embedding"]),
+        rtol=1e-6,
+    )

@@ -1,6 +1,7 @@
-"""SpeechUT joint multi-forward pretraining step (reference
+"""Joint multi-forward pretraining steps: SpeechUT (reference
 speechut_criterion.py:166-265: one update = speech HuBERT + paired U2T
-CE/CTC + mono MUM, text losses rescaled by speech/text sample sizes)."""
+CE/CTC + mono MUM, text losses rescaled by speech/text sample sizes) and
+SpeechLM (speechlm_criterion.py:66-200: dual-level HuBERT + text MUM/CTC)."""
 
 import numpy as np
 import jax
@@ -9,7 +10,10 @@ import optax
 import pytest
 
 from speecht5_tpu.models.speechut import SpeechUTModel, speechut_tiny
-from speecht5_tpu.train.joint import JointLossConfig, make_speechut_joint_loss
+from speecht5_tpu.models.speechlm import SpeechLMModel, speechlm_tiny
+from speecht5_tpu.train.joint import (
+    JointLossConfig, make_speechut_joint_loss, make_speechlm_joint_loss,
+)
 
 RNGS = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
 
@@ -96,6 +100,50 @@ class TestJointLoss:
         assert any("feature_extractor" in k and v > 0 for k, v in flat.items())
         assert any("decoder" in k and v > 0 for k, v in flat.items())
         assert any("unit_embed_tokens" in k and v > 0 for k, v in flat.items())
+
+    def test_speechlm_joint_loss(self):
+        cfg = speechlm_tiny()
+        model = SpeechLMModel(cfg)
+        rng = np.random.default_rng(1)
+        wav = jnp.zeros((2, 4000))
+        lengths = jnp.asarray([4000, 4000])
+        frames = cfg.conv_features.out_length(4000)
+        units = jnp.asarray(
+            rng.integers(2, cfg.unit_vocab_size, (2, frames)), jnp.int32
+        )
+        rngs = {"params": jax.random.PRNGKey(0),
+                "mask": jax.random.PRNGKey(1), "mix": jax.random.PRNGKey(2)}
+        v = model.init(rngs, wav, lengths, units, mask=True,
+                       method="forward_speech")
+        v2 = SpeechLMModel(cfg).init(
+            rngs, units[:, :12], mask=True, method="forward_text"
+        )
+        params = dict(v2["params"])
+        params.update(v["params"])
+
+        batch = {
+            "speech": {
+                "wav": jnp.asarray(
+                    rng.standard_normal((2, 4000)), jnp.float32) * 0.1,
+                "wav_lengths": lengths,
+                "units": units,
+            },
+            "text": {
+                "units": jnp.asarray(
+                    rng.integers(2, cfg.unit_vocab_size, (2, 12)), jnp.int32
+                ),
+                "char_targets": jnp.asarray(
+                    rng.integers(2, cfg.text_vocab_size, (2, 6)), jnp.int32
+                ),
+            },
+        }
+        jcfg = JointLossConfig(text_mum_weight=0.5, u2t_ctc_weight=0.1)
+        loss_fn = jax.jit(make_speechlm_joint_loss(model, jcfg))
+        loss, metrics = loss_fn(params, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(loss))
+        for k in ("speech_loss_m_0", "speech_loss_m_1", "mum_loss_m_0",
+                  "char_ctc_loss"):
+            assert k in metrics, sorted(metrics)
 
     def test_optimizer_step_reduces_loss(self, setup):
         cfg, model, variables, batch = setup
