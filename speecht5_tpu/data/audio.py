@@ -15,6 +15,20 @@ from typing import Tuple
 import numpy as np
 
 
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC by extension -> (float32 mono waveform, sample_rate).
+    FLAC decodes through the native csrc decoder (the reference leans on
+    libsndfile via soundfile, reference speech_to_text_dataset.py:115)."""
+    if path.lower().endswith(".flac"):
+        from .native import read_flac
+
+        wav, sr = read_flac(path, normalize=True)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=-1)
+        return wav.astype(np.float32), sr
+    return read_wav(path)
+
+
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a PCM WAV file -> (float32 mono waveform in [-1, 1], sample_rate)."""
     with wave.open(path, "rb") as f:

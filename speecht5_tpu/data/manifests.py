@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .audio import read_wav, layer_norm_wav
+from .audio import read_wav, read_audio, layer_norm_wav
 from .dictionary import Dictionary
 from ..ops.mel import log_mel_numpy
 
@@ -115,7 +115,7 @@ class SpeechToTextDataset:
         return len(self.names)
 
     def __getitem__(self, i: int) -> Dict:
-        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        wav, sr = read_audio(os.path.join(self.root, self.names[i]))
         if self.normalize:
             wav = layer_norm_wav(wav)
         if self.max_sample_size and len(wav) > self.max_sample_size:
@@ -171,7 +171,7 @@ class TextToSpeechDataset:
         return len(self.names)
 
     def __getitem__(self, i: int) -> Dict:
-        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        wav, sr = read_audio(os.path.join(self.root, self.names[i]))
         mel = log_mel_numpy(wav, n_mels=self.n_mels)
         tokens = self.dictionary.encode_line(self.label_lines[i])
         item = {"id": i, "tokens": np.asarray(tokens, np.int64), "mel": mel}
@@ -259,7 +259,7 @@ class SpeechToClassDataset:
         return len(self.names)
 
     def __getitem__(self, i: int) -> Dict:
-        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        wav, sr = read_audio(os.path.join(self.root, self.names[i]))
         if self.normalize:
             wav = layer_norm_wav(wav)
         if self.max_sample_size and len(wav) > self.max_sample_size:
@@ -317,10 +317,10 @@ class SpeechToSpeechDataset:
         return len(self.src_names)
 
     def __getitem__(self, i: int) -> Dict:
-        wav, _ = read_wav(os.path.join(self.root, self.src_names[i]))
+        wav, _ = read_audio(os.path.join(self.root, self.src_names[i]))
         if self.normalize:
             wav = layer_norm_wav(wav)
-        tgt_wav, _ = read_wav(os.path.join(self.root, self.tgt_names[i]))
+        tgt_wav, _ = read_audio(os.path.join(self.root, self.tgt_names[i]))
         mel = log_mel_numpy(tgt_wav, n_mels=self.n_mels)
         spkemb = np.load(os.path.join(self.root, self.spkembs[i])).astype(
             np.float32
@@ -490,7 +490,7 @@ class SpeechPretrainDataset:
         return len(self.names)
 
     def __getitem__(self, i: int) -> Dict:
-        wav, sr = read_wav(os.path.join(self.root, self.names[i]))
+        wav, sr = read_audio(os.path.join(self.root, self.names[i]))
         if self.normalize:
             wav = layer_norm_wav(wav)
         labels = np.asarray(self.label_lines[i].split(), np.int64)

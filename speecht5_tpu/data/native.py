@@ -64,6 +64,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.flac_info.restype = ctypes.c_int64
+    lib.flac_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.flac_read_i32.restype = ctypes.c_int64
+    lib.flac_read_i32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -122,6 +132,47 @@ def read_wav_batch_native(paths: List[str], max_samples: int
         srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out, lengths
+
+
+def flac_info(path: str):
+    """STREAMINFO probe: (total_samples, sr, channels, bps, md5 bytes)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable (FLAC needs csrc)")
+    sr = ctypes.c_int32(0)
+    ch = ctypes.c_int32(0)
+    bps = ctypes.c_int32(0)
+    md5 = (ctypes.c_uint8 * 16)()
+    n = lib.flac_info(path.encode(), ctypes.byref(sr), ctypes.byref(ch),
+                      ctypes.byref(bps), md5)
+    if n < 0:
+        raise ValueError(f"not a decodable FLAC stream: {path}")
+    return int(n), sr.value, ch.value, bps.value, bytes(md5)
+
+
+def read_flac(path: str, normalize: bool = True
+              ) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file with the native decoder (csrc/flac.cpp).
+
+    Returns (samples, sample_rate); samples are float32 in [-1, 1] when
+    ``normalize`` (mono files 1-D, else [n, channels] interleaved), or raw
+    int32 otherwise.
+    """
+    total, sr, ch, bps, _ = flac_info(path)
+    lib = _load()
+    cap = total if total else 1 << 26
+    out = np.zeros(cap * ch, np.int32)
+    n = lib.flac_read_i32(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap
+    )
+    if n < 0:
+        raise ValueError(f"FLAC decode failed: {path}")
+    data = out[: n * ch].reshape(n, ch)
+    if normalize:
+        data = (data.astype(np.float32) / float(1 << (bps - 1)))
+    if ch == 1:
+        data = data[:, 0]
+    return data, sr
 
 
 def collate_tokens_native(token_lists: List[np.ndarray], max_len: int,
