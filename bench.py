@@ -73,21 +73,30 @@ def main():
     )
 
     rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((BATCH, T)), jnp.float32) * 0.05
+    # distinct inputs per iteration + host scalar fences: this environment's
+    # remote backend memoizes (executable, inputs) -> result and its
+    # block_until_ready can return early, so same-input timing lies
+    wavs = [
+        jnp.asarray(rng.standard_normal((BATCH, T)), jnp.float32) * 0.05
+        for _ in range(4)
+    ]
     lengths = jnp.full((BATCH,), T, jnp.int32)
 
-    res = decoder(wav, lengths)
-    jax.block_until_ready(res.tokens)
+    res = decoder(wavs[0], lengths)
+    float(jnp.sum(res.scores))
     ph("ASR beam decode compiled")
 
     iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res = decoder(wav, lengths)
-        jax.block_until_ready(res.tokens)
-    dt = (time.perf_counter() - t0) / iters
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        res = decoder(wavs[1 + i], lengths)
+        float(jnp.sum(res.scores))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]
     realtime_x = BATCH * AUDIO_SECONDS / dt
-    ph(f"ASR steady {dt*1000:.1f}ms/batch -> {realtime_x:.0f}x realtime")
+    ph(f"ASR steady {dt*1000:.1f}ms/batch (median of {iters}) "
+       f"-> {realtime_x:.0f}x realtime")
 
     # ---------------------------------------------------------------- TTS
     tts_rtf = None
@@ -109,12 +118,16 @@ def main():
         tokens = jnp.full((TTS_BATCH, TOK), 5, jnp.int32)
         spk = jnp.zeros((TTS_BATCH, cfg.spk_embed_dim), jnp.float32)
         out = tts.text_to_speech(tokens, spk)
-        jax.block_until_ready(out.wav)
+        float(jnp.sum(out.lengths))
         ph("TTS AR decode + vocoder compiled")
-        t0 = time.perf_counter()
-        out = tts.text_to_speech(tokens, spk)
-        jax.block_until_ready(out.wav)
-        tts_dt = time.perf_counter() - t0
+        ts = []
+        for i in range(3):  # fresh input each time (backend memoizes results)
+            tokens_i = jnp.full((TTS_BATCH, TOK), 7 + i, jnp.int32)
+            t0 = time.perf_counter()
+            out = tts.text_to_speech(tokens_i, spk)
+            float(jnp.sum(out.lengths))
+            ts.append(time.perf_counter() - t0)
+        tts_dt = sorted(ts)[1]
         frames = int(np.asarray(out.lengths).min())
         audio_s = frames * 256 / SR  # hop 256 @ 16k
         tts_rtf = tts_dt / max(TTS_BATCH * audio_s, 1e-6)

@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32")
     p.add_argument("--results-path", default=None)
     p.add_argument("--vocab-size", type=int, default=None)
+    p.add_argument("--avg-last", type=int, default=0,
+                   help="average the last N checkpoints (reference ST recipes "
+                        "average 10, SpeechT5/README.md:437-441)")
     args = p.parse_args(argv)
     args.max_tokens = 0  # build_dataset compat
 
@@ -76,11 +79,25 @@ def main(argv=None):
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.ckpt)
-    restored, step = mgr.restore_model(variables)
-    if restored is None:
-        raise SystemExit(f"no checkpoint found in {args.ckpt}")
-    variables = restored
-    print(f"loaded checkpoint step {step}", flush=True)
+    if args.avg_last > 1:
+        from ..utils.checkpoint import average_checkpoints
+
+        steps = sorted(mgr.mngr.all_steps())[-args.avg_last:]
+        trees = [mgr.restore_model(variables, step=s)[0] for s in steps]
+        trees = [t for t in trees if t is not None]
+        if not trees:
+            raise SystemExit(f"no checkpoints found in {args.ckpt}")
+        params = average_checkpoints([t["params"] for t in trees])
+        variables = dict(trees[-1])
+        variables["params"] = params
+        step = steps[-1]
+        print(f"averaged {len(trees)} checkpoints {steps}", flush=True)
+    else:
+        restored, step = mgr.restore_model(variables)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt}")
+        variables = restored
+        print(f"loaded checkpoint step {step}", flush=True)
 
     if args.results_path:
         os.makedirs(args.results_path, exist_ok=True)

@@ -175,6 +175,8 @@ def main(argv=None):
     p.add_argument("--valid-manifest", default=None)
     p.add_argument("--valid-labels", default=None)
     p.add_argument("--valid-interval", type=int, default=1000)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of steps 10-14 here")
     p.add_argument("--n-model-shards", type=int, default=1)
     p.add_argument("--fsdp", action="store_true")
     p.add_argument("--finetune-from", default=None,
@@ -295,6 +297,9 @@ def main(argv=None):
         b.pop("ids", None)
         return b
 
+    from ..utils.profiling import PhaseTimer, trace as profiler_trace
+
+    timer = PhaseTimer("train", verbose=False)
     rng = jax.random.PRNGKey(args.seed + 7)
     epoch = epoch0
     done = step >= args.max_updates
@@ -303,13 +308,21 @@ def main(argv=None):
         for bi, (task_name, idxs) in enumerate(batches):
             if epoch == epoch0 and bi < batch0:
                 continue
+            if args.profile_dir and step == 10:
+                profiler_ctx = profiler_trace(args.profile_dir)
+                profiler_ctx.__enter__()
+            timer.phase("data")
             d = ds[task_name] if multitask else ds
             items = [d[int(i)] for i in idxs]
             batch = collate_for(task_name, d, items, epoch)
             rng, sub = jax.random.split(rng)
+            timer.phase("step")
             metrics = trainer.train_step(
                 batch, sub, task=task_name if multitask else None
             )
+            timer.phase("log", fence=metrics["loss"])
+            if args.profile_dir and step == 14:
+                profiler_ctx.__exit__(None, None, None)
             step += 1
             logger.update(
                 {k: float(v) for k, v in metrics.items()}, step=step,
@@ -339,6 +352,7 @@ def main(argv=None):
         epoch += 1
         batch0 = 0
     mgr.wait()
+    print(f"phases: {timer.summary()}", flush=True)
     print(json.dumps({"done": True, "steps": step,
                       "wall": round(time.time() - t_start, 1)}), flush=True)
 

@@ -297,6 +297,8 @@ class SpeechToSpeechDataset:
     normalize: bool = False
     reduction_factor: int = 2
     n_mels: int = 80
+    se_mode: bool = False   # SE: also emit the r-thinned SOURCE fbank as the
+                            # decoder input (reference se_decoder_input=source)
 
     def __post_init__(self):
         self.src_names, self.sizes = [], []
@@ -325,8 +327,11 @@ class SpeechToSpeechDataset:
         spkemb = np.load(os.path.join(self.root, self.spkembs[i])).astype(
             np.float32
         )
-        return {"id": i, "wav": wav.astype(np.float32), "mel": mel,
+        item = {"id": i, "wav": wav.astype(np.float32), "mel": mel,
                 "spkemb": spkemb}
+        if self.se_mode:
+            item["src_mel"] = log_mel_numpy(wav, n_mels=self.n_mels)
+        return item
 
     def collate(self, items: List[Dict], bucketed: bool = True
                 ) -> Dict[str, np.ndarray]:
@@ -345,6 +350,8 @@ class SpeechToSpeechDataset:
         target_mel = np.zeros((B, mel_len, n_mels), np.float32)
         dec_lengths = np.zeros((B,), np.int32)
         prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
+        src_mel = (np.zeros((B, mel_len // r, n_mels), np.float32)
+                   if self.se_mode else None)
         spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
         for b, it in enumerate(items):
             w = it["wav"][:wav_len]
@@ -355,12 +362,19 @@ class SpeechToSpeechDataset:
             dec_lengths[b] = len(m)
             thin = m[r - 1 :: r]
             prev_mel[b, 1 : len(thin)] = thin[:-1]
+            if src_mel is not None:
+                sthin = it["src_mel"][:mel_len][r - 1 :: r]
+                L = min(len(sthin), mel_len // r)
+                src_mel[b, :L] = sthin[:L]
             spk[b] = it["spkemb"]
-        return {"wav": wav, "wav_lengths": wav_lengths,
-                "target_mel": target_mel, "dec_lengths": dec_lengths,
-                "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
-                "spkembs": spk,
-                "ids": np.asarray([it["id"] for it in items])}
+        batch = {"wav": wav, "wav_lengths": wav_lengths,
+                 "target_mel": target_mel, "dec_lengths": dec_lengths,
+                 "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
+                 "spkembs": spk,
+                 "ids": np.asarray([it["id"] for it in items])}
+        if src_mel is not None:
+            batch["src_mel"] = src_mel
+        return batch
 
 
 @dataclass

@@ -282,15 +282,21 @@ class SpeechT5Model(nn.Module):
             deterministic=deterministic, need_attn=True,
         )
 
-    def forward_s2s(self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None, *,
-                    deterministic=False):
+    def forward_s2s(self, wav, wav_lengths, prev_mel, tgt_lengths, spkembs=None,
+                    src_mel=None, *, deterministic=False):
         """VC/SE training: returns (before, after, stop_logits, attn, enc_valid).
         enc_valid is needed for the guided-attention loss (the encoder length
-        is in conv-downsampled frames, not raw samples)."""
+        is in conv-downsampled frames, not raw samples).
+
+        ``src_mel``: SE variant (reference speecht5.py:917-919,
+        se_decoder_input='source') — the r-thinned SOURCE fbank replaces the
+        shifted previous-target frames as the decoder input (mask-predict
+        style enhancement instead of autoregression)."""
         enc = self.encode_speech(wav, wav_lengths, mask=False,
                                  deterministic=deterministic)
+        dec_in = prev_mel if src_mel is None else src_mel
         before, after, stop_logits, attn = self.decode_speech(
-            enc, prev_mel, tgt_lengths, spkembs,
+            enc, dec_in, tgt_lengths, spkembs,
             deterministic=deterministic, need_attn=True,
         )
         return before, after, stop_logits, attn, enc["valid_mask"]

@@ -164,6 +164,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
         out, updates = model.apply(
             variables, batch["wav"], batch["wav_lengths"], batch["prev_mel"],
             batch["dec_lengths_r"], batch.get("spkembs"),
+            batch.get("src_mel"),
             deterministic=det, rngs=rngs, mutable=["batch_stats"],
             method="forward_s2s",
         )

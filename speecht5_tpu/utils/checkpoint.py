@@ -137,6 +137,33 @@ def partial_load(
     return merge(target_params, source_params, "")
 
 
+# per-fine-tune-task module pruning (reference models/speecht5.py:1060-1120
+# prune_modules + --modules-filter): sub-nets a task never touches are dropped
+# from the checkpoint so fine-tuned artifacts stay small.
+TASK_MODULES = {
+    "s2t": ("speech_encoder_prenet", "encoder", "decoder",
+            "text_decoder_prenet", "text_decoder_postnet"),
+    "t2s": ("text_encoder_prenet", "encoder", "decoder",
+            "speech_decoder_prenet", "speech_decoder_postnet"),
+    "s2s": ("speech_encoder_prenet", "encoder", "decoder",
+            "speech_decoder_prenet", "speech_decoder_postnet"),
+    "s2c": ("speech_encoder_prenet", "encoder", "decoder",
+            "text_decoder_prenet", "speaker_decoder_postnet"),
+}
+
+
+def prune_for_task(variables: dict, task: str) -> dict:
+    """Drop top-level modules the fine-tune task never uses."""
+    keep = TASK_MODULES[task]
+    out = {}
+    for coll, tree in variables.items():
+        if not isinstance(tree, dict):
+            out[coll] = tree
+            continue
+        out[coll] = {k: v for k, v in tree.items() if k in keep}
+    return out
+
+
 def average_checkpoints(param_trees: List[dict]) -> dict:
     """Uniform parameter averaging (reference Speech2S/speech2s/scripts/
     average_checkpoints.py semantics)."""

@@ -174,3 +174,52 @@ class TestSIDVCDatasets:
         np.testing.assert_allclose(batch["prev_mel"][0, 1], m[1], rtol=1e-6)
         assert (batch["dec_lengths"] % 2 == 0).all() or True
         assert batch["spkembs"].shape == (3, 8)
+
+    def test_se_mode_source_decoder_input(self, tmp_path):
+        """SE variant: the collated src_mel is the r-thinned SOURCE fbank
+        (reference se_decoder_input='source', speecht5.py:917-919) and the
+        model consumes it instead of prev_mel."""
+        rng = np.random.default_rng(4)
+        root = tmp_path / "audio"
+        root.mkdir()
+        ns, nt = 4000, 4000
+        write_wav(str(root / "s.wav"), rng.standard_normal(ns) * 0.1)
+        write_wav(str(root / "t.wav"), rng.standard_normal(nt) * 0.1)
+        np.save(str(root / "e.npy"),
+                rng.standard_normal(16).astype(np.float32))
+        (tmp_path / "se.tsv").write_text(
+            str(root) + "\n" + f"s.wav\t{ns}\tt.wav\t{nt}\te.npy\n"
+        )
+        ds = SpeechToSpeechDataset(
+            manifest=str(tmp_path / "se.tsv"), reduction_factor=2,
+            n_mels=20, se_mode=True,
+        )
+        item = ds[0]
+        assert "src_mel" in item
+        batch = ds.collate([item])
+        assert batch["src_mel"].shape == batch["prev_mel"].shape
+        # src_mel is the thinned source fbank, unshifted
+        np.testing.assert_allclose(
+            batch["src_mel"][0, 0], item["src_mel"][1], rtol=1e-6
+        )
+
+        # model consumes src_mel as the decoder input
+        cfg = speecht5_tiny()
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        wav = jnp.asarray(batch["wav"])
+        out_se = model.apply(
+            variables, wav, jnp.asarray(batch["wav_lengths"]),
+            jnp.asarray(batch["prev_mel"]),
+            jnp.asarray(batch["dec_lengths_r"]),
+            jnp.zeros((1, cfg.spk_embed_dim)),
+            jnp.asarray(batch["src_mel"]),
+            deterministic=True, method="forward_s2s",
+        )
+        out_ar = model.apply(
+            variables, wav, jnp.asarray(batch["wav_lengths"]),
+            jnp.asarray(batch["prev_mel"]),
+            jnp.asarray(batch["dec_lengths_r"]),
+            jnp.zeros((1, cfg.spk_embed_dim)),
+            deterministic=True, method="forward_s2s",
+        )
+        assert not np.allclose(np.asarray(out_se[0]), np.asarray(out_ar[0]))
