@@ -49,6 +49,8 @@ def main(argv=None):
     p.add_argument("--avg-last", type=int, default=0,
                    help="average the last N checkpoints (reference ST recipes "
                         "average 10, SpeechT5/README.md:437-441)")
+    p.add_argument("--metric", default="wer", choices=["wer", "bleu"],
+                   help="s2t scoring: WER for ASR, corpus BLEU for ST")
     args = p.parse_args(argv)
     args.max_tokens = 0  # build_dataset compat
 
@@ -58,7 +60,7 @@ def main(argv=None):
     from ..data.dictionary import Dictionary, letters_to_text
     from ..models.speecht5 import init_model
     from ..utils.checkpoint import CheckpointManager
-    from ..utils.metrics import corpus_wer, mcd
+    from ..utils.metrics import corpus_wer, corpus_bleu, mcd
 
     dictionary = None
     cfg_kw = {"dtype": args.dtype}
@@ -129,8 +131,12 @@ def main(argv=None):
                 ref = letters_to_text(ds.label_lines[i])
                 hyps.append(hyp)
                 refs.append(ref)
-        result = {"metric": "wer", "value": corpus_wer(refs, hyps),
-                  "n_utts": n}
+        if args.metric == "bleu":
+            result = {"metric": "bleu", "value": corpus_bleu(refs, hyps),
+                      "n_utts": n}
+        else:
+            result = {"metric": "wer", "value": corpus_wer(refs, hyps),
+                      "n_utts": n}
         if args.results_path:
             with open(os.path.join(args.results_path, "hyps.txt"), "w") as f:
                 f.write("\n".join(hyps) + "\n")

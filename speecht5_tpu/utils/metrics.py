@@ -40,6 +40,49 @@ def cer(ref: str, hyp: str) -> float:
     return edit_distance(list(ref), list(hyp)) / max(len(ref), 1)
 
 
+def corpus_bleu(refs: List[str], hyps: List[str], max_n: int = 4,
+                smooth: bool = True) -> float:
+    """Corpus BLEU-4 (whitespace tokens, exp brevity penalty, add-1 smoothing
+    on orders with zero matches).  For ST evaluation (reference reports
+    MuST-C BLEU via sacrebleu; this is the standard corpus formula)."""
+    import math
+    from collections import Counter
+
+    match = [0] * max_n
+    total = [0] * max_n
+    hyp_len = ref_len = 0
+    for ref, hyp in zip(refs, hyps):
+        r = ref.split()
+        h = hyp.split()
+        hyp_len += len(h)
+        ref_len += len(r)
+        for n in range(1, max_n + 1):
+            h_ngrams = Counter(
+                tuple(h[i : i + n]) for i in range(len(h) - n + 1)
+            )
+            r_ngrams = Counter(
+                tuple(r[i : i + n]) for i in range(len(r) - n + 1)
+            )
+            total[n - 1] += max(len(h) - n + 1, 0)
+            match[n - 1] += sum(
+                min(c, r_ngrams[g]) for g, c in h_ngrams.items()
+            )
+    log_p = 0.0
+    for n in range(max_n):
+        m, t = match[n], total[n]
+        if t == 0:
+            return 0.0
+        if m == 0:
+            if not smooth:
+                return 0.0
+            m = 1.0
+            t += 1.0
+        log_p += math.log(m / t)
+    log_p /= max_n
+    bp = 1.0 if hyp_len > ref_len else math.exp(1.0 - ref_len / max(hyp_len, 1))
+    return 100.0 * bp * math.exp(log_p)
+
+
 def mcd(mel_ref: np.ndarray, mel_hyp: np.ndarray) -> float:
     """Mel-cepstral distortion (dB) over the overlapping frames (log10 mels)."""
     n = min(len(mel_ref), len(mel_hyp))

@@ -177,3 +177,32 @@ class TestMetrics:
         m = rng.standard_normal((10, 80))
         assert mcd(m, m) == 0.0
         assert mcd(m, m + 1.0) > 0
+
+
+class TestBleu:
+    def test_perfect_match(self):
+        from speecht5_tpu.utils.metrics import corpus_bleu
+
+        refs = ["the cat sat on the mat", "hello world again today"]
+        assert corpus_bleu(refs, refs) == pytest.approx(100.0)
+
+    def test_partial_and_ordering(self):
+        from speecht5_tpu.utils.metrics import corpus_bleu
+
+        refs = ["the cat sat on the mat"]
+        good = corpus_bleu(refs, ["the cat sat on a mat"])
+        bad = corpus_bleu(refs, ["mat the on sat cat the"])
+        assert 0 < bad < good < 100.0
+
+    def test_brevity_penalty(self):
+        from speecht5_tpu.utils.metrics import corpus_bleu
+
+        refs = ["a b c d e f g h"]
+        short = corpus_bleu(refs, ["a b c d"])
+        full = corpus_bleu(refs, ["a b c d e f g h"])
+        assert short < full
+
+    def test_empty_hyp(self):
+        from speecht5_tpu.utils.metrics import corpus_bleu
+
+        assert corpus_bleu(["a b c"], [""]) == 0.0
