@@ -60,6 +60,24 @@ def _skew_band(scores_r, T: int, max_dist: int):
     return out
 
 
+def band_from_table(pos_table, T: int, max_dist: int):
+    """Precompute pe_band[d, i, j] = pos_table[clip(i-j)+M, d] with ONE skew.
+
+    Shared across layers and heads for post-LN stacks (the reference applies
+    norm_k to the table only on the pre-LN path, transformer_layer.py:90-93),
+    so the per-layer bias becomes a single MXU einsum against this band —
+    measurably faster than re-skewing [B, H, T, T] scores in every layer.
+    """
+    Dh = pos_table.shape[1]
+    S = jnp.broadcast_to(pos_table.T[:, None, :], (Dh, T, 2 * max_dist))
+    return _skew_band(S, T, max_dist)        # [Dh, T, T]
+
+
+def relative_bias_banded(q, pos_band):
+    """q: [B, Tq, H, Dh] (scaled); pos_band: [Dh, T, T] -> bias [B, H, Tq, Tk]."""
+    return jnp.einsum("bqhd,dqk->bhqk", q, pos_band.astype(q.dtype))
+
+
 def relative_bias(q, pos_table, q_pos, k_pos, max_dist: int):
     """q: [B, Tq, H, Dh] (already scaled); pos_table: [2*max_dist, Dh].
 
@@ -106,6 +124,7 @@ class MultiheadAttention(nn.Module):
         key_valid=None,           # bool [B, Tk] True=attend
         causal: bool = False,
         pos_table=None,           # [2*max_dist, Dh] rel-pos embedding (pre-normed)
+        pos_band=None,            # [Dh, T, T] precomputed band (full self-attn)
         max_dist: int = 0,
         cache: Optional[dict] = None,   # {"k","v": [B, Tmax, H, Dh]} self-attn decode
         cache_index=None,         # scalar int: write position for this step
@@ -138,7 +157,11 @@ class MultiheadAttention(nn.Module):
         Tk = k.shape[1]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
 
-        if pos_table is not None:
+        if pos_band is not None:
+            logits = logits + relative_bias_banded(q, pos_band).astype(
+                jnp.float32
+            )
+        elif pos_table is not None:
             if cache is not None and cache_index is not None:
                 q_pos = cache_index + jnp.arange(Tq)
             else:

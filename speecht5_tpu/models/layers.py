@@ -84,10 +84,11 @@ class EncoderLayer(nn.Module):
         x,
         key_valid=None,
         pos_table=None,
+        pos_band=None,
         deterministic: bool = True,
         return_weights: bool = False,
     ):
-        # args positional-or-keyword so nn.remat(static_argnums=(4, 5))
+        # args positional-or-keyword so nn.remat(static_argnums=(5, 6))
         # can mark deterministic/return_weights static
         cfg = self.cfg
         residual = x
@@ -107,9 +108,11 @@ class EncoderLayer(nn.Module):
             x = residual + self.drop(x, deterministic=deterministic)
         else:
             # post-LN: norm_k exists in checkpoints but is NOT applied
-            # (reference transformer_layer.py:112-119 passes pos_bias raw).
+            # (reference transformer_layer.py:112-119 passes pos_bias raw),
+            # so the precomputed band is shareable across layers.
             y, w, _ = self.self_attn(
                 x, key_valid=key_valid, pos_table=pos_table,
+                pos_band=pos_band,
                 max_dist=cfg.rel_pos.max_distance,
                 deterministic=deterministic, return_weights=return_weights,
             )
