@@ -71,6 +71,37 @@ class WeightNormConv1d(nn.Module):
         return y
 
 
+class _Conv0MatMul(nn.Module):
+    """First w2v2 conv (1 input channel) as an im2col matmul.
+
+    XLA's TPU conv emitter is pathological for 1-channel inputs (measured
+    ~34ms for the [B,160k,1]->[B,32k,512] layer alone — the entire conv-FE
+    cost); framing via shifted strided views + one [*, k] @ [k, C] matmul
+    runs it on the MXU.  Param name/shape/init identical to nn.Conv, so
+    checkpoints and the converter are unaffected.  Requires stride | kernel.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, 1, self.features), self.param_dtype,
+        )
+        B, T, _ = x.shape
+        n_out = (T - k) // s + 1
+        rows = x[:, : (T // s) * s, 0].reshape(B, T // s, s)
+        parts = [rows[:, i : i + n_out] for i in range(k // s)]
+        frames = jnp.concatenate(parts, axis=-1).astype(self.dtype)
+        return frames @ kernel[:, 0, :].astype(self.dtype)
+
+
 class ConvFeatureExtractor(nn.Module):
     """wav2vec2-style stack of strided Conv1d blocks
     (reference speech_encoder_prenet.py:278-374)."""
@@ -84,16 +115,22 @@ class ConvFeatureExtractor(nn.Module):
         """wav: [B, T] -> [B, frames, C_out]."""
         x = wav[..., None].astype(self.dtype)  # NWC
         for i, (dim, k, stride) in enumerate(self.cfg.layers):
-            x = nn.Conv(
-                features=dim,
-                kernel_size=(k,),
-                strides=(stride,),
-                padding="VALID",
-                use_bias=self.cfg.bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"conv_{i}",
-            )(x)
+            if i == 0 and k % stride == 0 and not self.cfg.bias:
+                x = _Conv0MatMul(
+                    dim, k, stride, self.dtype, self.param_dtype,
+                    name="conv_0",
+                )(x)
+            else:
+                x = nn.Conv(
+                    features=dim,
+                    kernel_size=(k,),
+                    strides=(stride,),
+                    padding="VALID",
+                    use_bias=self.cfg.bias,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"conv_{i}",
+                )(x)
             if self.cfg.mode == "layer_norm":
                 x = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
             elif self.cfg.mode == "default" and i == 0:
