@@ -295,7 +295,7 @@ int64_t decode_file(const char* path, int32_t* out, int64_t cap,
         }
 
         for (uint32_t i = 0; i < block_size; i++) {
-            if (written + (int64_t)i >= cap) return kError;
+            if (written + (int64_t)i >= cap) return cap;  // truncate at cap
             for (uint32_t c = 0; c < n_ch; c++)
                 out[(written + i) * n_ch + c] = (int32_t)ch[c][i];
         }

@@ -90,6 +90,12 @@ def make_batches(sizes, args, seed):
         )
     order = np.random.default_rng(seed).permutation(len(sizes))
     B = args.batch_size or 8
+    if len(order) < B:
+        raise SystemExit(
+            f"dataset has {len(sizes)} items < --batch-size {B}: no full "
+            f"batch can be formed (the trailing partial batch is dropped to "
+            f"keep shapes static)"
+        )
     return [order[i : i + B] for i in range(0, len(order) - B + 1, B)]
 
 
@@ -224,6 +230,11 @@ def main(argv=None):
         )
     valid_ds = None
     if args.valid_manifest:
+        if args.task == "pretrain":
+            raise SystemExit(
+                "--valid-manifest is not supported with --task pretrain "
+                "(run a separate eval of the fine-tune task instead)"
+            )
         import copy as _copy
 
         vargs = _copy.copy(args)
@@ -300,6 +311,8 @@ def main(argv=None):
     from ..utils.profiling import PhaseTimer, trace as profiler_trace
 
     timer = PhaseTimer("train", verbose=False)
+    profiling = False
+    profiler_ctx = None
     rng = jax.random.PRNGKey(args.seed + 7)
     epoch = epoch0
     done = step >= args.max_updates
@@ -308,9 +321,10 @@ def main(argv=None):
         for bi, (task_name, idxs) in enumerate(batches):
             if epoch == epoch0 and bi < batch0:
                 continue
-            if args.profile_dir and step == 10:
+            if args.profile_dir and step == 10 and not profiling:
                 profiler_ctx = profiler_trace(args.profile_dir)
                 profiler_ctx.__enter__()
+                profiling = True
             timer.phase("data")
             d = ds[task_name] if multitask else ds
             items = [d[int(i)] for i in idxs]
@@ -321,8 +335,9 @@ def main(argv=None):
                 batch, sub, task=task_name if multitask else None
             )
             timer.phase("log", fence=metrics["loss"])
-            if args.profile_dir and step == 14:
+            if profiling and step >= 14:
                 profiler_ctx.__exit__(None, None, None)
+                profiling = False
             step += 1
             logger.update(
                 {k: float(v) for k, v in metrics.items()}, step=step,
@@ -351,6 +366,8 @@ def main(argv=None):
                 break
         epoch += 1
         batch0 = 0
+    if profiling:
+        profiler_ctx.__exit__(None, None, None)
     mgr.wait()
     print(f"phases: {timer.summary()}", flush=True)
     print(json.dumps({"done": True, "steps": step,

@@ -160,7 +160,12 @@ def read_flac(path: str, normalize: bool = True
     """
     total, sr, ch, bps, _ = flac_info(path)
     lib = _load()
-    cap = total if total else 1 << 26
+    if total:
+        cap = total
+    else:
+        # unknown-length stream: bound by file size (FLAC compresses 16-bit
+        # audio to >~1 byte/sample in practice; 2x margin)
+        cap = max(os.path.getsize(path) * 2 // max(ch, 1), 1024)
     out = np.zeros(cap * ch, np.int32)
     n = lib.flac_read_i32(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap

@@ -103,7 +103,8 @@ class SentencePieceModel:
             (i for i, p in enumerate(pieces) if p.type == UNKNOWN), 0
         )
         self._max_piece_len = max(
-            (len(p.piece) for p in pieces if p.type == NORMAL), default=1
+            (len(p.piece) for p in pieces
+             if p.type in (NORMAL, USER_DEFINED)), default=1
         )
 
     # ------------------------------------------------------------------ load

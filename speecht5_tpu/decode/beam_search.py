@@ -116,12 +116,12 @@ def beam_search(
 
     def cond(s: BeamState):
         not_done = s.step < L
-        # upper bound on any alive beam's final normalized score.  lprobs <= 0,
-        # so with length_penalty <= 1 the best case is finishing at the next
-        # step (smallest denominator); with length_penalty > 1 a LATER finish
-        # divides the negative score by a larger denominator and scores
-        # higher, so the bound must use the max-length denominator.
-        if length_penalty > 1.0:
+        # upper bound on any alive beam's final normalized score: cumulative
+        # lprobs only decrease, so the best case is a zero-cost continuation;
+        # its score lprob/t^lp is maximized (lprob < 0) by the LARGEST
+        # denominator for any lp > 0 — i.e. finishing at max length — and by
+        # the smallest (next step) for lp <= 0.
+        if length_penalty > 0.0:
             denom = jnp.float32(L) ** length_penalty
         else:
             denom = (

@@ -119,10 +119,15 @@ class TransformerDecoder(nn.Module):
         cache,
         *,
         enc_valid=None,
+        self_valid=None,       # bool [B, max_len]: attendable cache positions
         deterministic: bool = True,
         need_cross_weights: bool = False,
     ):
         """One AR step.  x: [B, 1, D] prenet output for the current position.
+
+        ``self_valid`` masks self-attention over the cache buffer (needed when
+        a prefilled prefix contains padding, e.g. batched codec-LM prompts);
+        the causal mask handles not-yet-written positions either way.
 
         Returns (features [B, 1, D], new_cache, cross_w or None).
         """
@@ -134,12 +139,12 @@ class TransformerDecoder(nn.Module):
         cross_w = None
         for i, layer in enumerate(self.layers):
             x, w, new_self = layer(
-                x, None, enc_valid, None, True, pos_table,
+                x, None, enc_valid, self_valid, True, pos_table,
                 cache["layers"][i], cache["cross"][i], idx,
                 deterministic, need_cross_weights,
             )
             new_layers.append(new_self)
-            if need_cross_weights:
+            if need_cross_weights and w is not None:
                 cross_w = [w] if cross_w is None else cross_w + [w]
 
         if cfg.layer_norm_first:

@@ -144,10 +144,18 @@ class VALLEX_AR(nn.Module):
         L0 = x.shape[1]
         Lmax = L0 + max_new
         cache = self.decoder.init_cache(None, B, Lmax)
+        # cache-wide self-attention mask: padded phoneme positions are never
+        # attendable; prompt + generated positions are (causal mask handles
+        # not-yet-written slots)
+        self_valid = jnp.concatenate(
+            [valid[:, : phonemes.shape[1]],
+             jnp.ones((B, Lmax - phonemes.shape[1]), bool)], axis=1
+        )
         # prefill: run the prefix through the causal decoder step-by-step is
         # wasteful; run it as one causal pass writing the KV cache via
         # decode_step on the whole prefix (Tq = L0)
-        feats, cache, _ = self.decoder.decode_step(x, cache)
+        feats, cache, _ = self.decoder.decode_step(x, cache,
+                                                   self_valid=self_valid)
         logits = self.out_proj(feats[:, -1:].astype(jnp.float32))[:, 0]
 
         pos = jnp.asarray(espnet_sinusoidal_table(cfg.max_len, cfg.d_model))
@@ -171,7 +179,9 @@ class VALLEX_AR(nn.Module):
             emb = emb + pos[cache["index"] - phonemes.shape[1]][None, None].astype(
                 emb.dtype
             )
-            feats, cache, _ = self.decoder.decode_step(emb, cache)
+            feats, cache, _ = self.decoder.decode_step(
+                emb, cache, self_valid=self_valid
+            )
             logits = self.out_proj(feats.astype(jnp.float32))[:, 0]
             nxt = sample(logits, sub)
             newly = (~done) & (nxt == eos)

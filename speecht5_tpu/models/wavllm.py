@@ -436,7 +436,12 @@ class WavLLMModel(nn.Module):
         Lmax = L0 + max_new
         gate = None
         if cfg.lora_moe:
-            pooled = audio.mean(1)
+            # length-masked mean, matching forward_sft (padded frames carry
+            # garbage encoder activations)
+            m = length_mask(audio_lens, audio.shape[1])[..., None]
+            pooled = (audio * m).sum(1) / jnp.maximum(
+                audio_lens, 1
+            )[:, None].astype(audio.dtype)
             gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
 
         H, Dh = cfg.llama_heads, cfg.llama_dim // cfg.llama_heads

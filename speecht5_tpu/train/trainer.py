@@ -341,27 +341,40 @@ class Trainer:
         CTC token ids so the caller can compute in-training WER/UER
         (the reference's valid-time WER, speech_to_text_loss.py:232-297)."""
         if not hasattr(self, "_eval_step"):
-            loss_fn = _loss_for_task(
-                self.model, self.task, self.cfg, deterministic=True
-            )
+            if self.task == "s2t":
+                # single forward: the same forward_s2t yields the loss AND the
+                # greedy-CTC ids (no second encoder pass)
+                mcfg = self.model.cfg
+                tcfg = self.cfg
 
-            def step_fn(params, extra, batch, rng):
-                loss, (metrics, _) = loss_fn(
-                    params, extra, batch, rng, jnp.zeros((), jnp.int32)
-                )
-                out = dict(metrics)
-                if self.task == "s2t":
+                def step_fn(params, extra, batch, rng):
                     variables = {"params": params, **extra}
-                    enc = self.model.apply(
+                    logits, ctc_logits, enc_valid = self.model.apply(
                         variables, batch["wav"], batch["wav_lengths"],
-                        mask=False, deterministic=True, with_ctc=True,
-                        method="encode_speech",
+                        batch["prev_tokens"], mask=False, deterministic=True,
+                        method="forward_s2t",
                     )
-                    out["_ctc_ids"] = jnp.argmax(enc["ctc_logits"], axis=-1)
-                    out["_enc_lengths"] = (
-                        enc["valid_mask"].astype(jnp.int32).sum(-1)
+                    _, metrics = criterions.s2t_loss(
+                        logits, ctc_logits, enc_valid, batch["targets"],
+                        mcfg.pad_id, mcfg.blank_id, eos_id=mcfg.eos_id,
+                        ce_weight=tcfg.ce_weight,
+                        ctc_weight=max(tcfg.ctc_weight, 1e-9),
+                        label_smoothing=tcfg.label_smoothing,
                     )
-                return out
+                    out = dict(metrics)
+                    out["_ctc_ids"] = jnp.argmax(ctc_logits, axis=-1)
+                    out["_enc_lengths"] = enc_valid.astype(jnp.int32).sum(-1)
+                    return out
+            else:
+                loss_fn = _loss_for_task(
+                    self.model, self.task, self.cfg, deterministic=True
+                )
+
+                def step_fn(params, extra, batch, rng):
+                    loss, (metrics, _) = loss_fn(
+                        params, extra, batch, rng, jnp.zeros((), jnp.int32)
+                    )
+                    return dict(metrics)
 
             self._eval_step = jax.jit(step_fn)
         rng = jax.random.PRNGKey(0) if rng is None else rng
