@@ -105,6 +105,60 @@ def test_validation_loop_with_ctc_wer(corpus, capsys):
     assert 0.0 <= v["valid_wer"] <= 1.5
 
 
+@pytest.mark.slow
+def test_tts_train_then_evaluate(tmp_path, capsys):
+    """t2s end-to-end: train a tiny TTS model briefly, evaluate MCD + focus
+    rate through the CLI (reference generate_speech.py contract)."""
+    import json as _json
+    import numpy as np
+    from speecht5_tpu.cli.train import main as train_main
+    from speecht5_tpu.cli.evaluate import main as eval_main
+
+    rng = np.random.default_rng(5)
+    root = tmp_path / "audio"
+    root.mkdir()
+    spkdir = tmp_path / "spk"
+    spkdir.mkdir()
+    rows, labels = [], []
+    n = 4000
+    for i in range(8):
+        t = np.arange(n) / 16000.0
+        wav = 0.3 * np.sin(2 * np.pi * (220 + 40 * i) * t)
+        write_wav(str(root / f"t{i}.wav"), wav)
+        np.save(str(spkdir / f"t{i}.npy"),
+                rng.standard_normal(16).astype(np.float32))
+        rows.append(f"t{i}.wav\t{n}")
+        labels.append("H I |")
+    (tmp_path / "tts.tsv").write_text(
+        str(root) + "\n" + "\n".join(rows) + "\n"
+    )
+    (tmp_path / "tts.txt").write_text("\n".join(labels) + "\n")
+    (tmp_path / "d.txt").write_text("| 1\nH 1\nI 1\n")
+
+    common = [
+        "--manifest", str(tmp_path / "tts.tsv"),
+        "--labels", str(tmp_path / "tts.txt"),
+        "--dict", str(tmp_path / "d.txt"),
+        "--arch", "speecht5_tiny",
+    ]
+    train_main(common + [
+        "--task", "t2s", "--save-dir", str(tmp_path / "ck"),
+        "--spkemb-dir", str(spkdir), "--guided-attn",
+        "--max-updates", "6", "--batch-size", "8",
+        "--save-interval", "6", "--log-interval", "3",
+    ])
+    result = eval_main(common + [
+        "--task", "t2s", "--ckpt", str(tmp_path / "ck"),
+        "--spkemb-dir", str(spkdir), "--batch-size", "8",
+        "--results-path", str(tmp_path / "out"),
+    ])
+    assert result["metric"] == "mcd"
+    assert np.isfinite(result["value"])
+    assert 0.0 < result["focus_rate"] <= 1.0
+    import os
+    assert os.path.exists(tmp_path / "out" / "0.npy")
+
+
 def test_joint_pretrain_multitask(tmp_path, capsys):
     """--task pretrain: joint speech+text pretraining with modality-pure
     interleaved batches sharing ONE optimizer state (reference

@@ -166,6 +166,42 @@ class TestNativeParity:
             np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
 
 
+class TestModelToLexiconDecode:
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_speechlm_ctc_emissions_through_decoder(self, tmp_path):
+        """SpeechLM CTC fine-tune emissions -> native lexicon decoder, the
+        reference's full inference stack (speechlm/infer.py + flashlight)."""
+        import jax
+        import jax.numpy as jnp
+        from speecht5_tpu.models.speechlm import (
+            SpeechLMModel, SpeechLMCtc, speechlm_tiny,
+        )
+
+        cfg = speechlm_tiny()
+        model = SpeechLMCtc(cfg)
+        wav = jnp.zeros((1, 4000))
+        lengths = jnp.asarray([4000])
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, wav, lengths
+        )
+        logits, valid = model.apply(variables, wav, lengths)
+        # tiny text vocab: treat ids as [blank=0, sep=1, letters 2..]
+        V = logits.shape[-1]
+        vocab = ["<blank>", "|"] + [chr(ord("a") + i) for i in range(V - 2)]
+        lex = tmp_path / "lex.txt"
+        lex.write_text("ab\ta b\nba\tb a\naa\ta a\n")
+        dec = LexiconDecoder(
+            str(lex), vocab, blank=0, sep=1, beam=10,
+        )
+        lp = np.asarray(
+            jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        )[0][: int(np.asarray(valid).sum())]
+        toks, score = dec.decode(lp)
+        assert np.isfinite(score)
+        # decoder output obeys the lexicon: only a(2)/b(3)/sep(1) tokens
+        assert all(t in (1, 2, 3) for t in toks)
+
+
 class TestNgramRepeatBlock:
     def test_bans_repeating_ngram(self):
         import jax.numpy as jnp
