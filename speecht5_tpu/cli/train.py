@@ -125,7 +125,10 @@ def run_validation(trainer, ds, args, cfg, dictionary):
             lens = np.asarray(enc_lengths)
             for b, it in enumerate(items):
                 seq = ids[b, : lens[b]]
-                seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
+                if len(seq) == 0:
+                    seq = np.zeros((0,), ids.dtype)
+                else:
+                    seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
                 seq = seq[(seq != cfg.blank_id) & (seq != cfg.pad_id)]
                 ref = [t for t in it["tokens"].tolist()
                        if t not in (cfg.pad_id, cfg.eos_id)]

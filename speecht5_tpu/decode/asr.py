@@ -50,7 +50,12 @@ class ASRDecoder:
         unk_penalty: float = 0.0,
         suppress_ids: tuple = (),
         no_repeat_ngram_size: int = 0,
+        encode_method: str = "encode_speech",
     ):
+        """``encode_method``: model method producing {encoder_out, valid_mask
+        [, ctc_logits]} — e.g. "encode_speech" (ASR/ST), "encode_text"
+        (YiTrans MT), "encode_av" (VATLM); its positional args are whatever
+        __call__ receives."""
         self.model = model
         self.variables = variables
         self.cfg = model.cfg
@@ -65,6 +70,7 @@ class ASRDecoder:
         self.unk_penalty = unk_penalty
         self.suppress_ids = tuple(suppress_ids)
         self.no_repeat_ngram_size = no_repeat_ngram_size
+        self.encode_method = encode_method
         self.ctc_beam = max(2, int(beam_size * CTC_SCORING_RATIO))
         self._decode = jax.jit(self._decode_impl, static_argnames=("batch_size",))
 
@@ -80,15 +86,30 @@ class ASRDecoder:
             lprobs = lprobs.at[:, cfg.unk_id].add(-self.unk_penalty)
         return lprobs
 
-    def _step(self, variables, lm_variables, toks_t, step, state):
+    def _step(self, variables, lm_variables, consts, toks_t, step, state):
+        """``consts`` holds the loop-INVARIANT tensors (cross-attention K/V,
+        encoder valid mask, CTC posteriors/lengths).  They live outside the
+        beam state on purpose: the beam reorder gathers every leaf of the
+        state each step, and although parent rows stay within a sample's beam
+        group (so the gather is a semantic no-op for row-tiled tensors), XLA
+        cannot prove that — keeping them in the state cost ~400MB of HBM
+        traffic per step at base-ASR shapes."""
         cfg = self.cfg
+        cache = {
+            "index": state["cache"]["index"],
+            "layers": state["cache"]["layers"],
+            "cross": consts["cross"],
+        }
         logits, cache = self.model.apply(
-            variables, toks_t, state["cache"],
-            enc_valid=state["enc_valid"], method="text_decode_step",
+            variables, toks_t, cache,
+            enc_valid=consts["enc_valid"], method="text_decode_step",
         )
         att = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lprobs = att
-        state = dict(state, cache=cache)
+        state = dict(
+            state,
+            cache={"index": cache["index"], "layers": cache["layers"]},
+        )
 
         if self.ctc_weight > 0:
             w = self.ctc_weight
@@ -97,17 +118,20 @@ class ASRDecoder:
             sel = self._suppress(att).at[:, cfg.eos_id].set(NEG_INF)
             _, cand_ids = jax.lax.top_k(sel, self.ctc_beam)        # [N, K]
             psi, _ = ctc_prefix.score_candidates(
-                cs, state["ctc_lprobs"], state["enc_lengths"], cand_ids,
+                cs, consts["ctc_lprobs"], consts["enc_lengths"], cand_ids,
                 cfg.blank_id, state["ctc_empty"],
             )
             delta = psi - cs.psi[:, None]
             att_cand = jnp.take_along_axis(att, cand_ids, axis=1)
+            # candidates get (1-w)*att + w*delta; other tokens keep their RAW
+            # attention score — matching the reference exactly
+            # (sequence_generator.py:385-387 assigns only local_best_ids)
             combined = (1.0 - w) * att_cand + w * delta
             lprobs = jax.vmap(lambda lp, ids, vals: lp.at[ids].set(vals))(
                 lprobs, cand_ids, combined
             )
             # eos: ctc score of terminating = full-prefix probability
-            eos_delta = ctc_prefix.eos_score(cs, state["enc_lengths"]) - cs.psi
+            eos_delta = ctc_prefix.eos_score(cs, consts["enc_lengths"]) - cs.psi
             lprobs = lprobs.at[:, cfg.eos_id].set(
                 (1.0 - w) * att[:, cfg.eos_id] + w * eos_delta
             )
@@ -125,12 +149,12 @@ class ASRDecoder:
         lprobs = self._suppress(lprobs)
         return lprobs, state
 
-    def _select(self, variables, state, tok):
+    def _select(self, variables, consts, state, tok):
         if self.ctc_weight <= 0:
             return state
         cs = state["ctc"]
         _, cand_state = ctc_prefix.score_candidates(
-            cs, state["ctc_lprobs"], state["enc_lengths"], tok[:, None],
+            cs, consts["ctc_lprobs"], consts["enc_lengths"], tok[:, None],
             self.cfg.blank_id, state["ctc_empty"],
         )
         new_cs = ctc_prefix.select(
@@ -140,7 +164,7 @@ class ASRDecoder:
 
     # ------------------------------------------------------------------ decode
 
-    def _decode_impl(self, variables, lm_variables, wav, wav_lengths,
+    def _decode_impl(self, variables, lm_variables, enc_args,
                      batch_size: int):
         # ``variables`` is a jit ARGUMENT, never a closure: closed-over params
         # would be baked into the HLO as literal constants — a multi-hundred-MB
@@ -149,9 +173,9 @@ class ASRDecoder:
         B, K = batch_size, self.beam_size
         N = B * K
 
+        kw = {"with_ctc": True} if self.ctc_weight > 0 else {}
         enc = self.model.apply(
-            variables, wav, wav_lengths,
-            with_ctc=self.ctc_weight > 0, method="encode_speech",
+            variables, *enc_args, method=self.encode_method, **kw
         )
         enc_tiled = {
             "encoder_out": _tile_rows(enc["encoder_out"], K),
@@ -161,19 +185,24 @@ class ASRDecoder:
             variables, enc_tiled, N, self.max_len + 1,
             method="init_text_cache",
         )
-        state = {
-            "cache": cache,
+        # loop-invariant tensors go into ``consts`` (closure), NOT the beam
+        # state — see _step for why
+        consts = {
+            "cross": cache["cross"],
             "enc_valid": enc_tiled["valid_mask"],
+        }
+        state = {
+            "cache": {"index": cache["index"], "layers": cache["layers"]},
         }
         if self.ctc_weight > 0:
             ctc_lp = jax.nn.log_softmax(
                 enc["ctc_logits"].astype(jnp.float32), axis=-1
             )
             enc_lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
-            state["ctc_lprobs"] = _tile_rows(ctc_lp, K)
-            state["enc_lengths"] = _tile_rows(enc_lengths, K)
+            consts["ctc_lprobs"] = _tile_rows(ctc_lp, K)
+            consts["enc_lengths"] = _tile_rows(enc_lengths, K)
             state["ctc"] = ctc_prefix.init_state(
-                state["ctc_lprobs"], state["enc_lengths"],
+                consts["ctc_lprobs"], consts["enc_lengths"],
                 cfg.blank_id, cfg.eos_id,
             )
             state["ctc_empty"] = jnp.ones((N,), bool)
@@ -183,7 +212,7 @@ class ASRDecoder:
             )
 
         return beam_search(
-            functools.partial(self._step, variables, lm_variables),
+            functools.partial(self._step, variables, lm_variables, consts),
             state,
             batch_size=B,
             beam_size=K,
@@ -192,15 +221,17 @@ class ASRDecoder:
             eos_id=cfg.eos_id,
             length_penalty=self.length_penalty,
             min_len=self.min_len,
-            select_fn=functools.partial(self._select, variables),
+            select_fn=functools.partial(self._select, variables, consts),
             no_repeat_ngram_size=self.no_repeat_ngram_size,
         )
 
-    def __call__(self, wav, wav_lengths) -> BeamResult:
-        """wav: [B, T] raw waveform; returns BeamResult (tokens/scores/lengths)."""
+    def __call__(self, *enc_args) -> BeamResult:
+        """Args go to ``encode_method`` (e.g. wav [B, T], wav_lengths for
+        "encode_speech"; tokens [B, T] for "encode_text").  Returns
+        BeamResult (tokens/scores/lengths)."""
         return self._decode(
-            self.variables, self.lm_variables, wav, wav_lengths,
-            batch_size=wav.shape[0],
+            self.variables, self.lm_variables, enc_args,
+            batch_size=enc_args[0].shape[0],
         )
 
 
@@ -213,6 +244,9 @@ def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
     out = []
     for b in range(ids.shape[0]):
         seq = ids[b, : lengths[b]]
+        if len(seq) == 0:
+            out.append([])
+            continue
         seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
         out.append(seq[seq != blank_id].tolist())
     return out

@@ -178,16 +178,14 @@ class SpeechEncoderPostnet(nn.Module):
         else:
             projs = [proj] * len(h.num_classes)
 
+        from ..ops.heads import cosine_logits
+
         logits = []
         offset = 0
         for i, c in enumerate(h.num_classes):
             embs = self.label_embs_concat[offset : offset + c]
             offset += c
-            xn = projs[i] / jnp.maximum(
-                jnp.linalg.norm(projs[i], axis=-1, keepdims=True), 1e-8
-            )
-            en = embs / jnp.maximum(jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-8)
-            logits.append(jnp.einsum("btd,cd->btc", xn, en) / h.logit_temp)
+            logits.append(cosine_logits(projs[i], embs, h.logit_temp))
         return logits
 
 

@@ -26,6 +26,7 @@ import flax.linen as nn
 from ..config import TransformerConfig, ConvFeatureConfig, MaskingConfig, RelPosConfig
 from ..ops.masking import apply_feature_masks, compute_span_mask
 from ..utils.masks import length_mask
+from ..ops.heads import cosine_logits
 from .prenets import ConvFeatureExtractor, WeightNormConv1d
 from .encoder import TransformerEncoder
 from .decoder import TransformerDecoder
@@ -125,11 +126,7 @@ class SpeechLMModel(nn.Module):
     # ------------------------------------------------------------- internals
 
     def _cosine_logits(self, proj, label_embs):
-        xn = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-8)
-        en = label_embs / jnp.maximum(
-            jnp.linalg.norm(label_embs, axis=-1, keepdims=True), 1e-8
-        )
-        return jnp.einsum("btd,cd->btc", xn, en) / self.cfg.logit_temp
+        return cosine_logits(proj, label_embs, self.cfg.logit_temp)
 
     def _front(self, wav, wav_lengths, *, mask, deterministic):
         cfg = self.cfg
@@ -298,8 +295,15 @@ class SpeechLMS2T(nn.Module):
         h, valid = self.speechlm.extract_features(
             wav, wav_lengths, deterministic=deterministic
         )
+        from ..ops.positional import fairseq_sinusoidal
+
+        self_valid = prev_tokens != self.cfg.pad_id
         x = self.embed_tokens(prev_tokens).astype(h.dtype)
+        x = x + fairseq_sinusoidal(
+            self_valid, self.decoder_cfg.d_model, self.cfg.pad_id
+        ).astype(x.dtype)
         feats, _ = self.decoder(
-            x, h, enc_valid=valid, deterministic=deterministic
+            x, h, enc_valid=valid, self_valid=self_valid,
+            deterministic=deterministic,
         )
         return self.output_projection(feats.astype(jnp.float32)), valid

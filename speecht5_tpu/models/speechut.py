@@ -23,6 +23,7 @@ import flax.linen as nn
 from ..config import TransformerConfig, ConvFeatureConfig, MaskingConfig, RelPosConfig
 from ..ops.masking import apply_feature_masks, compute_span_mask
 from ..utils.masks import length_mask
+from ..ops.heads import cosine_logits
 from .prenets import ConvFeatureExtractor, WeightNormConv1d, TextDecoderPrenet
 from .encoder import TransformerEncoder
 from .decoder import TransformerDecoder
@@ -160,11 +161,7 @@ class SpeechUTModel(nn.Module):
             self.text_ctc_head = nn.Dense(cfg.text_vocab_size, dtype=jnp.float32)
 
     def _cosine_logits(self, proj):
-        xn = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-8)
-        en = self.label_embs / jnp.maximum(
-            jnp.linalg.norm(self.label_embs, axis=-1, keepdims=True), 1e-8
-        )
-        return jnp.einsum("btd,cd->btc", xn, en) / self.cfg.logit_temp
+        return cosine_logits(proj, self.label_embs, self.cfg.logit_temp)
 
     def init_all(self, wav, wav_lengths, units, prev_tokens):
         out = self.forward_speech(wav, wav_lengths, units, mask=True)

@@ -33,6 +33,7 @@ from ..config import TransformerConfig, MaskingConfig, RelPosConfig
 from ..ops.masking import apply_feature_masks
 from ..ops.positional import fairseq_sinusoidal, fairseq_sinusoidal_table
 from ..utils.masks import length_mask
+from ..ops.heads import cosine_logits
 from .encoder import TransformerEncoder
 from .decoder import TransformerDecoder
 
@@ -284,13 +285,7 @@ class VATLMModel(nn.Module):
         for i, c in enumerate(cfg.num_classes):
             embs = self.label_embs_concat[off : off + c]
             off += c
-            xn = projs[i] / jnp.maximum(
-                jnp.linalg.norm(projs[i], axis=-1, keepdims=True), 1e-8
-            )
-            en = embs / jnp.maximum(
-                jnp.linalg.norm(embs, axis=-1, keepdims=True), 1e-8
-            )
-            logits.append(jnp.einsum("btd,cd->btc", xn, en) / cfg.logit_temp)
+            logits.append(cosine_logits(projs[i], embs, cfg.logit_temp))
         return {"logits": logits, "time_mask": time_mask,
                 "valid_mask": valid, "enc": enc}
 

@@ -202,11 +202,17 @@ class LLaMABlock(nn.Module):
         self.w2 = dense(cfg.llama_dim, "w2")
 
     def __call__(self, x, cos, sin, positions, *, mask=None, cache=None,
-                 cache_index=None, gate=None, deterministic=True):
+                 cache_index=None, gate=None, deterministic=True,
+                 slots=None):
+        """``positions`` drive RoPE (per-sample REAL token counts so batched
+        padding can't shift the geometry); ``slots`` are the raw buffer
+        indices used for causal masking (default: positions)."""
         cfg = self.cfg
         H = cfg.llama_heads
         Dh = cfg.llama_dim // H
         B, T, _ = x.shape
+        if slots is None:
+            slots = positions
 
         h = self.attn_norm(x)
         q = self.wq(h, gate, deterministic).reshape(B, T, H, Dh)
@@ -229,7 +235,7 @@ class LLaMABlock(nn.Module):
         logits = logits / jnp.sqrt(Dh).astype(jnp.float32)
         Tk = k.shape[1]
         j = jnp.arange(Tk)[None, None, None, :]
-        i = positions[:, None, :, None]
+        i = slots[:, None, :, None]
         causal = j <= i
         if mask is not None:
             causal = causal & mask[:, None, None, :]
@@ -371,7 +377,7 @@ class WavLLMModel(nn.Module):
     # ----------------------------------------------------------------- SFT
 
     def _llama(self, embeds, positions, *, valid=None, caches=None,
-               cache_index=None, gate=None, deterministic=True):
+               cache_index=None, gate=None, deterministic=True, slots=None):
         x = embeds
         new_caches = [] if caches is not None else None
         for i, layer in enumerate(self.layers):
@@ -379,7 +385,7 @@ class WavLLMModel(nn.Module):
                 x, self.rope_cos, self.rope_sin, positions, mask=valid,
                 cache=None if caches is None else caches[i],
                 cache_index=cache_index, gate=gate,
-                deterministic=deterministic,
+                deterministic=deterministic, slots=slots,
             )
             if new_caches is not None:
                 new_caches.append(nc)
@@ -401,12 +407,20 @@ class WavLLMModel(nn.Module):
         t_emb = self.tok_embeddings(target_tokens).astype(audio.dtype)
         seq = jnp.concatenate([p_emb, audio, t_emb], axis=1)
         Lp, La, Lt = p_emb.shape[1], audio.shape[1], t_emb.shape[1]
-        positions = jnp.broadcast_to(jnp.arange(Lp + La + Lt)[None], seq.shape[:2])
         valid = jnp.concatenate([
             prompt_tokens != cfg.pad_id,
             length_mask(audio_lens, La),
             target_tokens != cfg.pad_id,
         ], axis=1)
+        # RoPE positions count REAL tokens only, so the prompt->audio->target
+        # geometry is independent of batch padding (the reference packs
+        # segments per-sample without intra-sequence padding); causal masking
+        # uses the raw slot indices
+        positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        positions = jnp.maximum(positions, 0)
+        slots = jnp.broadcast_to(
+            jnp.arange(Lp + La + Lt)[None], seq.shape[:2]
+        )
         gate = None
         if cfg.lora_moe:
             pooled = (audio * length_mask(audio_lens, La)[..., None]).sum(1) \
@@ -414,12 +428,19 @@ class WavLLMModel(nn.Module):
             gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
         logits, _ = self._llama(
             seq, positions, valid=valid, gate=gate,
-            deterministic=deterministic,
+            deterministic=deterministic, slots=slots,
         )
-        # logits at position i predict token i+1: the target segment
-        # [Lp+La .. Lp+La+Lt-1] is predicted by positions [Lp+La-1 ..]
-        start = Lp + La - 1
-        return logits[:, start : start + Lt], gate
+        # logits at sequence index i predict token i+1.  Target token 0 must
+        # be predicted from the LAST REAL audio frame (padded audio frames
+        # between audio_lens and La are garbage queries), so gather its
+        # predictor index per sample; tokens 1.. are predicted from the real
+        # target embeddings at fixed indices.
+        first_idx = Lp + audio_lens - 1                       # [B]
+        first = jnp.take_along_axis(
+            logits, first_idx[:, None, None].astype(jnp.int32), axis=1
+        )                                                     # [B, 1, V]
+        rest = logits[:, Lp + La : Lp + La + Lt - 1]
+        return jnp.concatenate([first, rest], axis=1), gate
 
     # ------------------------------------------------------------ generate
 
@@ -432,13 +453,14 @@ class WavLLMModel(nn.Module):
         B = audio.shape[0]
         p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
         seq = jnp.concatenate([p_emb, audio], axis=1)
-        L0 = seq.shape[1]
+        Lp, La = p_emb.shape[1], audio.shape[1]
+        L0 = Lp + La
         Lmax = L0 + max_new
         gate = None
         if cfg.lora_moe:
             # length-masked mean, matching forward_sft (padded frames carry
             # garbage encoder activations)
-            m = length_mask(audio_lens, audio.shape[1])[..., None]
+            m = length_mask(audio_lens, La)[..., None]
             pooled = (audio * m).sum(1) / jnp.maximum(
                 audio_lens, 1
             )[:, None].astype(audio.dtype)
@@ -450,28 +472,50 @@ class WavLLMModel(nn.Module):
              "v": jnp.zeros((B, Lmax, H, Dh), cfg.compute_dtype)}
             for _ in self.layers
         ]
-        valid = jnp.concatenate([
-            prompt_tokens != cfg.pad_id, length_mask(audio_lens, audio.shape[1]),
-            jnp.zeros((B, max_new), bool),
+        prefix_valid = jnp.concatenate([
+            prompt_tokens != cfg.pad_id, length_mask(audio_lens, La)
         ], axis=1)
-        positions = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
+        valid = jnp.concatenate(
+            [prefix_valid, jnp.zeros((B, max_new), bool)], axis=1
+        )
+        # real-token RoPE positions + raw slots for causal (see forward_sft)
+        positions = jnp.maximum(
+            jnp.cumsum(prefix_valid.astype(jnp.int32), axis=1) - 1, 0
+        )
+        slots = jnp.broadcast_to(jnp.arange(L0)[None], (B, L0))
         logits, caches = self._llama(
             seq, positions, valid=valid, caches=caches, cache_index=0,
-            gate=gate,
+            gate=gate, slots=slots,
         )
-        tok = jnp.argmax(logits[:, -1], axis=-1)
-        outs = [tok]
-        for t in range(max_new - 1):
+        # first token is predicted from the last REAL audio frame per sample
+        first_idx = Lp + audio_lens - 1
+        first_logits = jnp.take_along_axis(
+            logits, first_idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        tok = jnp.argmax(first_logits, axis=-1)
+        out = jnp.zeros((B, max_new), tok.dtype).at[:, 0].set(tok)
+        n_real = prefix_valid.astype(jnp.int32).sum(1)        # [B]
+
+        def body(t, carry):
+            tok, caches, valid, out = carry
             valid = valid.at[:, L0 + t].set(True)
             emb = self.tok_embeddings(tok)[:, None].astype(audio.dtype)
-            pos = jnp.full((B, 1), L0 + t, jnp.int32)
+            pos = (n_real + t)[:, None]
+            slot = jnp.full((B, 1), L0 + t, jnp.int32)
             logits, caches = self._llama(
                 emb, pos, valid=valid, caches=caches, cache_index=L0 + t,
-                gate=gate,
+                gate=gate, slots=slot,
             )
-            tok = jnp.argmax(logits[:, -1], axis=-1)
-            outs.append(tok)
-        return jnp.stack(outs, axis=1)
+            nxt = jnp.argmax(logits[:, -1], axis=-1)
+            out = out.at[:, t + 1].set(nxt)
+            return nxt, caches, valid, out
+
+        # lax loop: a python loop would inline max_new copies of the full
+        # LLaMA stack into the program (minutes-long compiles at real sizes)
+        _, _, _, out = jax.lax.fori_loop(
+            0, max_new - 1, body, (tok, caches, valid, out)
+        )
+        return out
 
 
 def lora_param_filter(path_tuple) -> bool:

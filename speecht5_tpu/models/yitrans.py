@@ -25,6 +25,7 @@ from ..config import TransformerConfig, ConvFeatureConfig, MaskingConfig, RelPos
 from ..ops.masking import apply_feature_masks
 from ..ops.positional import fairseq_sinusoidal, fairseq_sinusoidal_table
 from ..utils.masks import length_mask
+from ..ops.heads import cosine_logits
 from .prenets import ConvFeatureExtractor, WeightNormConv1d
 from .encoder import TransformerEncoder
 from .decoder import TransformerDecoder
@@ -151,11 +152,7 @@ class YiTransModel(nn.Module):
 
     def hubert_logits(self, enc):
         proj = self.final_proj(enc["encoder_out"].astype(jnp.float32))
-        xn = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-8)
-        en = self.label_embs / jnp.maximum(
-            jnp.linalg.norm(self.label_embs, axis=-1, keepdims=True), 1e-8
-        )
-        return jnp.einsum("btd,cd->btc", xn, en) / self.cfg.logit_temp
+        return cosine_logits(proj, self.label_embs, self.cfg.logit_temp)
 
     # --------------------------------------------------------------- decoder
 
