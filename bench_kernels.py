@@ -108,6 +108,18 @@ def main():
         o = flash_attention_bias(qf, kf, vf, bf, block_q=256, block_k=512)
         return o.reshape(B, H, T, Dh).transpose(0, 2, 1, 3)
 
+    from speecht5_tpu.ops.pallas_kernels import banded_flash_attention
+    from speecht5_tpu.models.attention import band_from_table
+
+    def banded_attn(q):
+        band = band_from_table(table, T, M)
+        qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, Dh)
+        o = banded_flash_attention(qf, kf, vf, band)
+        return o.reshape(B, H, T, Dh).transpose(0, 2, 1, 3)
+
+    t_banded = device_loop_time(lambda x: x + banded_attn(x) * 1e-3, q)
     t_xla = device_loop_time(lambda x: x + xla_attn(x) * 1e-3, q)
     t_pl = device_loop_time(lambda x: x + pallas_attn(x) * 1e-3, q)
     ref = np.asarray(xla_attn(q), np.float32)
@@ -116,8 +128,9 @@ def main():
     print(json.dumps({
         "kernel": "attn_relpos_B8_H12_T512",
         "xla_ms": round(t_xla * 1e3, 3),
-        "pallas_ms": round(t_pl * 1e3, 3),
-        "speedup": round(t_xla / t_pl, 2),
+        "pallas_streaming_ms": round(t_pl * 1e3, 3),
+        "pallas_banded_ms": round(t_banded * 1e3, 3),
+        "banded_speedup": round(t_xla / t_banded, 2),
         "max_abs_err": round(err, 6),
     }), flush=True)
 

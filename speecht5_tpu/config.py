@@ -107,6 +107,11 @@ class TransformerConfig:
     # (jax.checkpoint via nn.remat; the reference's optional
     # checkpoint_wrapper, decoder.py:88-91).  Needed for Large training.
     remat: bool = False
+    # use the Pallas fused attention kernel with in-kernel banded rel-pos
+    # bias for full (non-causal, uncached) self-attention at inference.
+    # Forward-only (no custom VJP), so it engages only on deterministic
+    # passes; XLA remains the training path.
+    use_pallas_attn: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -102,6 +102,8 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False   # fused banded-bias kernel on deterministic
+    #                            full self-attention (see config.use_pallas_attn)
 
     @property
     def head_dim(self):
@@ -155,6 +157,37 @@ class MultiheadAttention(nn.Module):
                 new_cache = {"k": k, "v": v}
 
         Tk = k.shape[1]
+
+        if (
+            pos_band is not None
+            and self.use_pallas
+            and deterministic
+            and not return_weights
+            and not causal
+            and cache is None
+            and cross_kv is None
+        ):
+            # fused kernel: scores + in-kernel banded bias + mask + softmax +
+            # PV in one pass, no [B, H, Tq, Tk] tensors in HBM.  key_valid is
+            # a contiguous prefix mask in every data path here (right-padded
+            # collation), expressed as per-row lengths.
+            from ..ops.pallas_kernels import banded_flash_attention
+
+            N = B * H
+            qf = q.transpose(0, 2, 1, 3).reshape(N, Tq, Dh)
+            kf = k.transpose(0, 2, 1, 3).reshape(N, Tk, Dh)
+            vf = v.transpose(0, 2, 1, 3).reshape(N, Tk, Dh)
+            if key_valid is not None:
+                lengths = jnp.repeat(
+                    key_valid.astype(jnp.int32).sum(-1), H, axis=0
+                )
+            else:
+                lengths = None
+            o = banded_flash_attention(qf, kf, vf, pos_band, lengths)
+            o = o.reshape(B, H, Tq, Dh).transpose(0, 2, 1, 3)
+            out = self.out_proj(o.reshape(B, Tq, self.d_model))
+            return out, None, new_cache
+
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
 
         if pos_band is not None:

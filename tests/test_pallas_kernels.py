@@ -43,6 +43,64 @@ class TestFusedLogMel:
         np.testing.assert_allclose(got[0], want, atol=2e-3)
 
 
+class TestBandedFlashAttention:
+    def test_matches_xla_encoder_path(self, rng):
+        """Full encoder forward with use_pallas_attn on vs off must match
+        (interpret mode on CPU; same kernel compiles on TPU)."""
+        import dataclasses
+        import jax
+        from speecht5_tpu.config import speecht5_tiny, replace
+        from speecht5_tpu.models.speecht5 import init_model
+
+        cfg = speecht5_tiny()
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        pcfg = replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, use_pallas_attn=True)
+        )
+        pmodel, _ = init_model(pcfg, jax.random.PRNGKey(0))
+
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 2500])
+        ref = model.apply(variables, wav, lengths, deterministic=True,
+                          method="encode_speech")
+        got = pmodel.apply(variables, wav, lengths, deterministic=True,
+                           method="encode_speech")
+        np.testing.assert_allclose(
+            np.asarray(got["encoder_out"]), np.asarray(ref["encoder_out"]),
+            atol=2e-4,
+        )
+
+    def test_kernel_vs_dense(self, rng):
+        from speecht5_tpu.ops.pallas_kernels import banded_flash_attention
+        from speecht5_tpu.models.attention import (
+            band_from_table, relative_bias,
+        )
+
+        N, T, D, M = 4, 48, 16, 8
+        q = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32) * 0.3
+        k = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32) * 0.3
+        v = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+        table = jnp.asarray(rng.standard_normal((2 * M, D)), jnp.float32) * 0.2
+        band = band_from_table(table, T, M)
+        lengths = jnp.asarray([48, 48, 30, 17])
+
+        got = np.asarray(banded_flash_attention(
+            q, k, v, band, lengths, block_q=16
+        ))
+
+        pos = jnp.arange(T)
+        bias = np.asarray(relative_bias(
+            q.reshape(N, T, 1, D), table, pos, pos, M
+        ))[:, 0]
+        s = np.einsum("nqd,nkd->nqk", np.asarray(q), np.asarray(k)) + bias
+        ok = np.arange(T)[None, None, :] < np.asarray(lengths)[:, None, None]
+        s = np.where(ok, s, -1e9)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("nqk,nkd->nqd", p, np.asarray(v))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 class TestFlashAttentionBias:
     def _reference(self, q, k, v, bias, valid):
         s = np.einsum("nqd,nkd->nqk", q, k) + bias
