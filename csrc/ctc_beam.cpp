@@ -212,11 +212,15 @@ struct HypKeyHash {
 };
 
 HypKey make_key(const Hyp& h) {
+    // length-prefixed: a raw separator byte would be ambiguous (token bytes
+    // can contain any value), letting distinct (tokens, lm_ctx) pairs
+    // serialize identically and merge wrongly
     HypKey k;
     k.s.reserve((h.tokens.size() + h.lm_ctx.size() + 1) * sizeof(int32_t));
+    int32_t n = (int32_t)h.tokens.size();
+    k.s.append(reinterpret_cast<const char*>(&n), sizeof(int32_t));
     k.s.append(reinterpret_cast<const char*>(h.tokens.data()),
                h.tokens.size() * sizeof(int32_t));
-    k.s.push_back('|');
     k.s.append(reinterpret_cast<const char*>(h.lm_ctx.data()),
                h.lm_ctx.size() * sizeof(int32_t));
     return k;

@@ -99,6 +99,7 @@ bool decode_residual(BitReader& br, int order, uint32_t block_size,
     uint32_t parts = 1u << part_order;
     if (block_size % parts) return false;
     uint32_t part_len = block_size >> part_order;
+    if (part_len < (uint32_t)order) return false;  // malformed: underflow
     for (uint32_t p = 0; p < parts; p++) {
         uint32_t n = part_len - (p == 0 ? order : 0);
         uint32_t param = (uint32_t)br.read_bits(pbits);
@@ -188,6 +189,7 @@ bool parse_streaminfo(const uint8_t* d, size_t size, StreamInfo* si,
         uint8_t hdr = d[pos];
         uint32_t len = (d[pos + 1] << 16) | (d[pos + 2] << 8) | d[pos + 3];
         pos += 4;
+        if (pos + len > size) return false;  // truncated metadata block
         if ((hdr & 0x7F) == 0 && len >= 34) {  // STREAMINFO
             const uint8_t* p = d + pos;
             si->sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);

@@ -28,20 +28,13 @@ def main(argv=None):
 
     import jax
     from .. import config as C
-    from ..data.dictionary import Dictionary
     from ..models.speecht5 import init_model
     from ..utils.convert import load_fairseq_checkpoint, verify_against
     from ..utils.checkpoint import CheckpointManager, partial_load
 
-    cfg_kw = {}
-    if args.dict_path:
-        d = Dictionary.load(
-            args.dict_path, extra_special_symbols=["<mask>", "<ctc_blank>"]
-        )
-        cfg_kw["vocab_size"] = len(d)
-        cfg_kw["blank_id"] = d.index("<ctc_blank>")
-    elif args.vocab_size:
-        cfg_kw["vocab_size"] = args.vocab_size
+    from ..data.dictionary import load_cli_dictionary
+
+    _, cfg_kw = load_cli_dictionary(args.dict_path, args.vocab_size)
 
     cfg = getattr(C, args.arch)(**cfg_kw)
     model, variables = init_model(cfg, jax.random.PRNGKey(0))

@@ -57,24 +57,25 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from .. import config as C
-    from ..data.dictionary import Dictionary, letters_to_text
+    from ..data.dictionary import letters_to_text
     from ..models.speecht5 import init_model
     from ..utils.checkpoint import CheckpointManager
     from ..utils.metrics import corpus_wer, corpus_bleu, mcd
 
-    dictionary = None
-    cfg_kw = {"dtype": args.dtype}
-    if args.dict_path:
-        dictionary = Dictionary.load(
-            args.dict_path, extra_special_symbols=["<mask>", "<ctc_blank>"]
-        )
-        cfg_kw["vocab_size"] = len(dictionary)
-        cfg_kw["blank_id"] = dictionary.index("<ctc_blank>")
-    elif args.vocab_size:
-        cfg_kw["vocab_size"] = args.vocab_size
+    from ..data.dictionary import load_cli_dictionary
+
+    dictionary, cfg_kw = load_cli_dictionary(args.dict_path, args.vocab_size)
+    cfg_kw["dtype"] = args.dtype
 
     preset = getattr(C, args.arch)
     cfg = preset(**cfg_kw)
+    if args.task == "s2t" and dictionary is None:
+        raise SystemExit("--dict is required for --task s2t (hypotheses are "
+                         "detokenized through the dictionary)")
+    if args.task == "s2c":
+        cm_path = os.path.join(args.ckpt, "class_map.txt")
+        if os.path.exists(cm_path):
+            args.class_map = cm_path
     ds = build_dataset(args, dictionary, cfg)
     if args.task == "s2c" and cfg.sid.num_classes != ds.num_classes:
         cfg = C.replace(cfg, sid=C.replace(cfg.sid, num_classes=ds.num_classes))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Optional
 
@@ -41,9 +42,12 @@ def build_dataset(args, dictionary, cfg):
             reduction_factor=cfg.reduction_factor, n_mels=cfg.n_mels,
         )
     if args.task == "s2c":
+        cm = getattr(args, "class_map", None)
         return M.SpeechToClassDataset(
             manifest=args.manifest, normalize=args.normalize,
             max_sample_size=args.max_sample_size,
+            class_map=(M.SpeechToClassDataset.load_class_map(cm)
+                       if cm else None),
         )
     if args.task == "pretrain_speech":
         return M.SpeechPretrainDataset(
@@ -204,16 +208,10 @@ def main(argv=None):
     from ..utils.metrics import MetricsLogger
 
     t_start = time.time()
-    dictionary = None
-    cfg_kw = {"dtype": args.dtype}
-    if args.dict_path:
-        dictionary = Dictionary.load(
-            args.dict_path, extra_special_symbols=["<mask>", "<ctc_blank>"]
-        )
-        cfg_kw["vocab_size"] = len(dictionary)
-        cfg_kw["blank_id"] = dictionary.index("<ctc_blank>")
-    elif args.vocab_size:
-        cfg_kw["vocab_size"] = args.vocab_size
+    from ..data.dictionary import load_cli_dictionary
+
+    dictionary, cfg_kw = load_cli_dictionary(args.dict_path, args.vocab_size)
+    cfg_kw["dtype"] = args.dtype
 
     preset = getattr(C, args.arch)
     cfg = preset(**cfg_kw)
@@ -227,10 +225,15 @@ def main(argv=None):
         )
 
     ds = build_dataset(args, dictionary, cfg)
-    if args.task == "s2c" and cfg.sid.num_classes != ds.num_classes:
-        cfg = C.replace(
-            cfg, sid=C.replace(cfg.sid, num_classes=ds.num_classes)
-        )
+    if args.task == "s2c":
+        if cfg.sid.num_classes != ds.num_classes:
+            cfg = C.replace(
+                cfg, sid=C.replace(cfg.sid, num_classes=ds.num_classes)
+            )
+        # persist the label->id mapping so eval manifests with a different
+        # speaker subset reuse the TRAINING mapping
+        os.makedirs(args.save_dir, exist_ok=True)
+        ds.save_class_map(os.path.join(args.save_dir, "class_map.txt"))
     valid_ds = None
     if args.valid_manifest:
         if args.task == "pretrain":
@@ -358,11 +361,15 @@ def main(argv=None):
                     f"valid_{k}": round(v, 4) for k, v in vm.items()}}),
                     flush=True)
             if step % args.save_interval == 0 or step >= args.max_updates:
+                # the weights-only 'model' item duplicates params on disk, so
+                # write it only on the FINAL save (inference/warm-start use
+                # that one; periodic saves are for resume)
+                final = step >= args.max_updates
                 mgr.save(
                     step, trainer.state,
                     data_state={"epoch": epoch, "batch": bi + 1},
-                    model={"params": trainer.state.params,
-                           **trainer.state.extra},
+                    model=({"params": trainer.state.params,
+                            **trainer.state.extra} if final else None),
                 )
             if step >= args.max_updates:
                 done = True

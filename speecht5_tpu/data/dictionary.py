@@ -98,3 +98,19 @@ class Dictionary:
 def letters_to_text(tokens: str) -> str:
     """fairseq letter-dict convention: '|' is the word separator."""
     return tokens.replace(" ", "").replace("|", " ").strip()
+
+
+def load_cli_dictionary(dict_path=None, vocab_size=None):
+    """Shared CLI dictionary/config plumbing (train/evaluate/convert):
+    returns (dictionary_or_None, cfg_kwargs with vocab_size/blank_id)."""
+    cfg_kw = {}
+    dictionary = None
+    if dict_path:
+        dictionary = Dictionary.load(
+            dict_path, extra_special_symbols=["<mask>", "<ctc_blank>"]
+        )
+        cfg_kw["vocab_size"] = len(dictionary)
+        cfg_kw["blank_id"] = dictionary.index("<ctc_blank>")
+    elif vocab_size:
+        cfg_kw["vocab_size"] = vocab_size
+    return dictionary, cfg_kw

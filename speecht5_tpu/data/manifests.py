@@ -205,7 +205,8 @@ class TextToSpeechDataset:
             spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
         for b, it in enumerate(items):
             t = it["tokens"]
-            tokens[b, : len(t)] = t[:tok_len]
+            Lt = min(len(t), tok_len)  # clamp: utt may exceed top bucket
+            tokens[b, :Lt] = t[:Lt]
             m = it["mel"][:mel_len]
             target_mel[b, : len(m)] = m
             dec_lengths[b] = len(m)
@@ -254,6 +255,22 @@ class SpeechToClassDataset:
     @property
     def num_classes(self) -> int:
         return len(self.class_map)
+
+    def save_class_map(self, path: str):
+        """Persist the label->id mapping so eval/valid manifests with a
+        different speaker subset reuse the TRAINING mapping."""
+        with open(path, "w", encoding="utf-8") as f:
+            for label, idx in sorted(self.class_map.items(), key=lambda kv: kv[1]):
+                f.write(f"{label}\t{idx}\n")
+
+    @staticmethod
+    def load_class_map(path: str) -> Dict[str, int]:
+        out = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                label, idx = line.rstrip("\n").split("\t")
+                out[label] = int(idx)
+        return out
 
     def __len__(self):
         return len(self.names)

@@ -64,16 +64,23 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.flac_info.restype = ctypes.c_int64
-    lib.flac_info.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.POINTER(ctypes.c_uint8),
-    ]
-    lib.flac_read_i32.restype = ctypes.c_int64
-    lib.flac_read_i32.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-    ]
+    # newer symbols may be absent from a stale prebuilt .so (e.g. rebuild
+    # failed on a machine without a toolchain): degrade per-feature instead
+    # of crashing every native caller
+    try:
+        lib.flac_info.restype = ctypes.c_int64
+        lib.flac_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.flac_read_i32.restype = ctypes.c_int64
+        lib.flac_read_i32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        lib._has_flac = True
+    except AttributeError:
+        lib._has_flac = False
     _lib = lib
     return lib
 
@@ -137,8 +144,10 @@ def read_wav_batch_native(paths: List[str], max_samples: int
 def flac_info(path: str):
     """STREAMINFO probe: (total_samples, sr, channels, bps, md5 bytes)."""
     lib = _load()
-    if lib is None:
-        raise RuntimeError("native library unavailable (FLAC needs csrc)")
+    if lib is None or not getattr(lib, "_has_flac", False):
+        raise RuntimeError(
+            "native FLAC decoder unavailable (csrc build failed or stale .so)"
+        )
     sr = ctypes.c_int32(0)
     ch = ctypes.c_int32(0)
     bps = ctypes.c_int32(0)
@@ -163,15 +172,23 @@ def read_flac(path: str, normalize: bool = True
     if total:
         cap = total
     else:
-        # unknown-length stream: bound by file size (FLAC compresses 16-bit
-        # audio to >~1 byte/sample in practice; 2x margin)
+        # unknown-length stream: start from a file-size bound and grow if the
+        # decode hits the cap (CONSTANT subframes can compress far below
+        # 1 byte/sample, so a fixed heuristic could silently truncate)
         cap = max(os.path.getsize(path) * 2 // max(ch, 1), 1024)
-    out = np.zeros(cap * ch, np.int32)
-    n = lib.flac_read_i32(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap
-    )
-    if n < 0:
-        raise ValueError(f"FLAC decode failed: {path}")
+    for _attempt in range(4):
+        out = np.zeros(cap * ch, np.int32)
+        n = lib.flac_read_i32(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        )
+        if n < 0:
+            raise ValueError(f"FLAC decode failed: {path}")
+        if total or n < cap:
+            break
+        cap *= 8  # hit the cap on an unknown-length stream: retry bigger
+    else:
+        raise ValueError(f"FLAC stream longer than {cap} samples: {path}")
     data = out[: n * ch].reshape(n, ch)
     if normalize:
         data = (data.astype(np.float32) / float(1 << (bps - 1)))
