@@ -322,19 +322,26 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed + 7)
     epoch = epoch0
     done = step >= args.max_updates
-    while not done:
-        batches = epoch_batches(epoch)
-        for bi, (task_name, idxs) in enumerate(batches):
-            if epoch == epoch0 and bi < batch0:
+    from ..data.prefetch import prefetch
+
+    def batch_stream(epoch: int, start: int):
+        """Collated batches for one epoch; runs on the prefetch thread so
+        audio decode + log-mel + collation overlap the device step."""
+        for bi, (task_name, idxs) in enumerate(epoch_batches(epoch)):
+            if bi < start:
                 continue
+            d = ds[task_name] if multitask else ds
+            items = [d[int(i)] for i in idxs]
+            yield bi, task_name, collate_for(task_name, d, items, epoch)
+
+    while not done:
+        start = batch0 if epoch == epoch0 else 0
+        for bi, task_name, batch in prefetch(batch_stream(epoch, start)):
             if args.profile_dir and step == 10 and not profiling:
                 profiler_ctx = profiler_trace(args.profile_dir)
                 profiler_ctx.__enter__()
                 profiling = True
             timer.phase("data")
-            d = ds[task_name] if multitask else ds
-            items = [d[int(i)] for i in idxs]
-            batch = collate_for(task_name, d, items, epoch)
             rng, sub = jax.random.split(rng)
             timer.phase("step")
             metrics = trainer.train_step(
