@@ -21,16 +21,25 @@ class TestPrefetch:
         with pytest.raises(ValueError, match="boom"):
             list(it)
 
-    def test_overlaps_producer_and_consumer(self):
-        """With prefetching, producer sleeps overlap consumer sleeps."""
-        def slow_gen():
-            for i in range(5):
-                time.sleep(0.02)
+    def test_producer_runs_ahead(self):
+        """The worker thread keeps producing while the consumer is busy:
+        by the time the slow consumer takes item i, the producer must have
+        already emitted more than i+1 items (deterministic under load,
+        unlike wall-clock overlap assertions)."""
+        produced = []
+
+        def gen():
+            for i in range(8):
+                produced.append(i)
                 yield i
 
-        t0 = time.perf_counter()
-        for _ in prefetch(slow_gen(), depth=2):
-            time.sleep(0.02)
-        overlapped = time.perf_counter() - t0
-        # serial would be ~0.2s; overlapped should be well under
-        assert overlapped < 0.17
+        ahead = False
+        for i in d_iter(gen()):
+            time.sleep(0.01)  # slow consumer lets the producer fill the queue
+            if len(produced) > i + 1:
+                ahead = True
+        assert ahead
+
+
+def d_iter(gen):
+    return prefetch(gen, depth=2)
