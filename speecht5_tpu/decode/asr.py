@@ -177,19 +177,19 @@ class ASRDecoder:
         enc = self.model.apply(
             variables, *enc_args, method=self.encode_method, **kw
         )
-        enc_tiled = {
-            "encoder_out": _tile_rows(enc["encoder_out"], K),
-            "valid_mask": _tile_rows(enc["valid_mask"], K),
-        }
+        # cross K/V and the encoder mask stay UNTILED [B, ...]: every beam in
+        # a group shares them, and MultiheadAttention's grouped cross path
+        # computes [B*K] queries against [B] keys (5x less K/V traffic per
+        # step than tiling to N rows)
         cache = self.model.apply(
-            variables, enc_tiled, N, self.max_len + 1,
+            variables, enc, N, self.max_len + 1,
             method="init_text_cache",
         )
         # loop-invariant tensors go into ``consts`` (closure), NOT the beam
         # state — see _step for why
         consts = {
             "cross": cache["cross"],
-            "enc_valid": enc_tiled["valid_mask"],
+            "enc_valid": enc["valid_mask"],
         }
         state = {
             "cache": {"index": cache["index"], "layers": cache["layers"]},

@@ -143,6 +143,44 @@ class MultiheadAttention(nn.Module):
         new_cache = None
         if cross_kv is not None:
             k, v = cross_kv["k"], cross_kv["v"]
+            if k.shape[0] != B:
+                # grouped cross-attention: beam search tiles each sample's
+                # queries G times but the encoder K/V are identical within a
+                # group — computing against the UNTILED K/V reads them once
+                # per sample instead of once per beam (5x less HBM traffic
+                # per decode step at beam 5)
+                Bkv = k.shape[0]
+                G = B // Bkv
+                Tk = k.shape[1]
+                q_g = q.reshape(Bkv, G * Tq, H, Dh)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q_g, k).astype(
+                    jnp.float32
+                )
+                if key_valid is not None:
+                    kv_mask = key_valid
+                    if kv_mask.shape[0] != Bkv:  # caller passed tiled mask
+                        kv_mask = kv_mask.reshape(Bkv, G, Tk)[:, 0]
+                    logits = jnp.where(
+                        kv_mask[:, None, None, :], logits, NEG_INF
+                    )
+                weights = jax.nn.softmax(logits, axis=-1)
+                probs = weights.astype(self.dtype)
+                if self.dropout > 0.0 and not deterministic:
+                    keep = jax.random.bernoulli(
+                        self.make_rng("dropout"), 1.0 - self.dropout,
+                        probs.shape,
+                    )
+                    probs = probs * keep / (1.0 - self.dropout)
+                out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(self.dtype))
+                out = out.reshape(B, Tq, self.d_model)
+                out = self.out_proj(out)
+                w = None
+                if return_weights:
+                    # grouped weights back to per-row [B, H, Tq, Tk]
+                    w = jnp.transpose(
+                        weights.reshape(Bkv, H, G, Tq, Tk), (0, 2, 1, 3, 4)
+                    ).reshape(B, H, Tq, Tk)
+                return out, w, None
         else:
             src = x_q if x_kv is None else x_kv
             k = self.k_proj(src).reshape(B, -1, H, Dh)

@@ -107,3 +107,36 @@ class TestBeamCore:
         # beams should emit their fav tokens; top beam for batch0 starts 3
         seq = np.asarray(res.tokens)[0, 0]
         assert seq[1] in (3, 4, 5)
+
+
+class TestGroupedCrossAttention:
+    def test_grouped_matches_tiled(self, rng):
+        """Beam-grouped cross attention (untiled K/V) must equal the tiled
+        computation row for row."""
+        import jax
+        from speecht5_tpu.models.attention import MultiheadAttention
+
+        B, K, Tq, Tk, D, H = 2, 3, 1, 7, 16, 4
+        mod = MultiheadAttention(D, H)
+        x_q = jnp.asarray(rng.standard_normal((B * K, Tq, D)), jnp.float32)
+        enc = jnp.asarray(rng.standard_normal((B, Tk, D)), jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), x_q[:1, :, :])
+        kv = mod.apply(variables, enc, method="precompute_kv")
+        kv_tiled = {k: jnp.repeat(v, K, axis=0) for k, v in kv.items()}
+        valid = jnp.asarray([[True] * 7, [True] * 4 + [False] * 3])
+        valid_tiled = jnp.repeat(valid, K, axis=0)
+
+        out_g, w_g, _ = mod.apply(
+            variables, x_q, cross_kv=kv, key_valid=valid,
+            return_weights=True,
+        )
+        out_t, w_t, _ = mod.apply(
+            variables, x_q, cross_kv=kv_tiled, key_valid=valid_tiled,
+            return_weights=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_g), np.asarray(out_t), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(w_g), np.asarray(w_t), atol=1e-6
+        )
