@@ -199,10 +199,12 @@ class ASRDecoder:
                 enc["ctc_logits"].astype(jnp.float32), axis=-1
             )
             enc_lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
-            consts["ctc_lprobs"] = _tile_rows(ctc_lp, K)
+            # posteriors stay UNTILED [B, T, V]: score_candidates reads them
+            # grouped, like the cross K/V (init needs per-row tensors once)
+            consts["ctc_lprobs"] = ctc_lp
             consts["enc_lengths"] = _tile_rows(enc_lengths, K)
             state["ctc"] = ctc_prefix.init_state(
-                consts["ctc_lprobs"], consts["enc_lengths"],
+                _tile_rows(ctc_lp, K), consts["enc_lengths"],
                 cfg.blank_id, cfg.eos_id,
             )
             state["ctc_empty"] = jnp.ones((N,), bool)

@@ -78,22 +78,35 @@ def score_candidates(
 ):
     """Score extending each row's prefix with each candidate.
 
+    ``ctc_lprobs`` may be [N, T, V] (per row) or UNTILED [B, T, V] with
+    N = B * beam — beam rows within a group share the posteriors, so the
+    grouped form reads them once per sample per step instead of once per
+    beam (the dominant gather in the decode loop).
+
     Returns (psi [N, K] new total prefix scores,
              cand_state: r_b/r_nb arrays [N, K, T] for each candidate).
     """
-    N, T, V = ctc_lprobs.shape
+    N = cand_ids.shape[0]
+    NB, T, V = ctc_lprobs.shape
     K = cand_ids.shape[1]
     t_idx = jnp.arange(T)[None, None, :]
     in_range = t_idx < lengths[:, None, None]                      # [N, 1, T]
 
     # x_c[t]: candidate emission lprobs, -inf on pad frames
-    xc = jnp.take_along_axis(
-        ctc_lprobs, cand_ids[:, None, :], axis=2
-    ).transpose(0, 2, 1)                                           # [N, K, T]
+    if NB == N:
+        xc = jnp.take_along_axis(
+            ctc_lprobs, cand_ids[:, None, :], axis=2
+        ).transpose(0, 2, 1)                                       # [N, K, T]
+        blank_col = ctc_lprobs[:, :, blank_id]                     # [N, T]
+    else:
+        G = N // NB
+        ids = cand_ids.reshape(NB, G * K)
+        xc = jnp.take_along_axis(
+            ctc_lprobs, ids[:, None, :], axis=2
+        ).transpose(0, 2, 1).reshape(N, K, T)
+        blank_col = jnp.repeat(ctc_lprobs[:, :, blank_id], G, axis=0)
     xc = jnp.where(in_range, xc, NEG)
-    blank_lp = jnp.where(
-        in_range[:, 0, :], ctc_lprobs[:, :, blank_id], 0.0
-    )                                                              # [N, T]
+    blank_lp = jnp.where(in_range[:, 0, :], blank_col, 0.0)        # [N, T]
 
     # phi[t] from PREFIX state: r_b + r_nb unless candidate == last token
     same = cand_ids == state.last[:, None]                         # [N, K]
