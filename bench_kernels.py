@@ -124,14 +124,17 @@ def main():
     t_pl = device_loop_time(lambda x: x + pallas_attn(x) * 1e-3, q)
     ref = np.asarray(xla_attn(q), np.float32)
     got = np.asarray(pallas_attn(q), np.float32)
+    got_banded = np.asarray(banded_attn(q), np.float32)
     err = float(np.abs(ref - got).max())
+    err_banded = float(np.abs(ref - got_banded).max())
     print(json.dumps({
         "kernel": "attn_relpos_B8_H12_T512",
         "xla_ms": round(t_xla * 1e3, 3),
         "pallas_streaming_ms": round(t_pl * 1e3, 3),
         "pallas_banded_ms": round(t_banded * 1e3, 3),
         "banded_speedup": round(t_xla / t_banded, 2),
-        "max_abs_err": round(err, 6),
+        "max_abs_err_streaming": round(err, 6),
+        "max_abs_err_banded": round(err_banded, 6),
     }), flush=True)
 
 

@@ -57,12 +57,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from .. import config as C
-    from ..data.dictionary import letters_to_text
+    from ..data.dictionary import letters_to_text, load_cli_dictionary
     from ..models.speecht5 import init_model
     from ..utils.checkpoint import CheckpointManager
     from ..utils.metrics import corpus_wer, corpus_bleu, mcd
-
-    from ..data.dictionary import load_cli_dictionary
 
     dictionary, cfg_kw = load_cli_dictionary(args.dict_path, args.vocab_size)
     cfg_kw["dtype"] = args.dtype

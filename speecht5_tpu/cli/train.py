@@ -200,7 +200,6 @@ def main(argv=None):
 
     import jax
     from .. import config as C
-    from ..data.dictionary import Dictionary
     from ..models.speecht5 import init_model
     from ..parallel.sharding import make_mesh
     from ..train.trainer import Trainer, TrainConfig
@@ -247,6 +246,10 @@ def main(argv=None):
         vargs.manifest = args.valid_manifest
         vargs.labels = args.valid_labels or args.labels
         valid_ds = build_dataset(vargs, dictionary, cfg)
+        if args.task == "s2c":
+            # validation must score against the TRAINING label->id mapping
+            valid_ds.class_map = dict(ds.class_map)
+            valid_ds.check_labels()
 
     model, variables = init_model(cfg, jax.random.PRNGKey(args.seed))
 
@@ -368,15 +371,15 @@ def main(argv=None):
                     f"valid_{k}": round(v, 4) for k, v in vm.items()}}),
                     flush=True)
             if step % args.save_interval == 0 or step >= args.max_updates:
-                # the weights-only 'model' item duplicates params on disk, so
-                # write it only on the FINAL save (inference/warm-start use
-                # that one; periodic saves are for resume)
-                final = step >= args.max_updates
+                # the weights-only 'model' item duplicates params on disk,
+                # but checkpoint averaging (--avg-last), eval of interrupted
+                # runs, and --finetune-from all restore it per step — keep it
+                # on every save
                 mgr.save(
                     step, trainer.state,
                     data_state={"epoch": epoch, "batch": bi + 1},
-                    model=({"params": trainer.state.params,
-                            **trainer.state.extra} if final else None),
+                    model={"params": trainer.state.params,
+                           **trainer.state.extra},
                 )
             if step >= args.max_updates:
                 done = True

@@ -251,6 +251,19 @@ class SpeechToClassDataset:
             self.class_map = {
                 c: i for i, c in enumerate(sorted(set(self.labels)))
             }
+        else:
+            self.check_labels()
+
+    def check_labels(self):
+        """Fail loudly (with the offending labels) when the manifest contains
+        speakers absent from an externally supplied class map."""
+        unknown = sorted({l for l in self.labels if l not in self.class_map})
+        if unknown:
+            raise ValueError(
+                f"{self.manifest}: {len(unknown)} labels not in the supplied "
+                f"class map (e.g. {unknown[:5]}); the map must come from the "
+                f"TRAINING manifest and cover every eval speaker"
+            )
 
     @property
     def num_classes(self) -> int:

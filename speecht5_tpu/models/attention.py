@@ -204,6 +204,9 @@ class MultiheadAttention(nn.Module):
             and not causal
             and cache is None
             and cross_kv is None
+            # VMEM bound: the per-program band block is Dh*64*T_pad*4 bytes;
+            # beyond ~1k keys it overflows the ~16MB budget — fall back to XLA
+            and Tk <= 1024
         ):
             # fused kernel: scores + in-kernel banded bias + mask + softmax +
             # PV in one pass, no [B, H, Tq, Tk] tensors in HBM.  key_valid is
