@@ -107,10 +107,12 @@ def params_shardings(params, mesh: Mesh, fsdp: bool = False):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def batch_shardings(batch, mesh: Mesh):
-    """Shard every array's leading (batch) axis over 'data'."""
+def batch_shardings(batch, mesh: Mesh, batch_axis: int = 0):
+    """Shard every array's batch axis over 'data' (axis 1 for accumulation
+    batches, whose leading axis is the microbatch scan axis)."""
+    spec = P(*([None] * batch_axis + ["data"]))
     return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, P("data")), batch
+        lambda x: NamedSharding(mesh, spec), batch
     )
 
 

@@ -62,7 +62,10 @@ def make_schedule(cfg: TrainConfig):
 def make_optimizer(cfg: TrainConfig):
     sched = make_schedule(cfg)
     return optax.chain(
-        optax.clip_by_global_norm(cfg.clip_norm),
+        # fairseq --clip-norm 0 disables clipping (clip_by_global_norm(0)
+        # would instead zero every update)
+        optax.clip_by_global_norm(cfg.clip_norm)
+        if cfg.clip_norm > 0 else optax.identity(),
         optax.adamw(
             learning_rate=sched, b1=cfg.betas[0], b2=cfg.betas[1],
             eps=cfg.adam_eps, weight_decay=cfg.weight_decay,
@@ -330,7 +333,10 @@ class Trainer:
         self.state = jax.device_put(self.state, self.state_shardings)
 
     def train_step(self, batch, rng, task: Optional[str] = None):
-        batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
+        # accum batches carry a leading microbatch axis: the data-parallel
+        # split applies to axis 1 there
+        bax = 1 if self.cfg.accum_steps > 1 else 0
+        batch = jax.device_put(batch, batch_shardings(batch, self.mesh, bax))
         step = self._steps[task] if task is not None else self._step
         self.state, metrics = step(self.state, batch, rng)
         return metrics
