@@ -1,23 +1,61 @@
-"""Convert a released fairseq .pt checkpoint into an orbax model dir usable
-by the evaluate/train CLIs (--ckpt / --finetune-from).
+"""Convert a released SpeechT5 checkpoint into an orbax model dir usable by
+the evaluate/train CLIs (--ckpt / --finetune-from).
+
+Two source formats:
+  fairseq  — the original .pt files (reference models/speecht5.py:1022-1058;
+             namespace map in SURVEY.md 3.5)
+  hf       — transformers checkpoints (microsoft/speecht5_{asr,tts,vc}): a
+             local directory / model id loadable by from_pretrained, or a
+             pytorch_model.bin state-dict file
 
 Usage:
     python -m speecht5_tpu.cli.convert --pt speecht5_base_asr.pt \
         --arch speecht5_base_asr --dict dict.txt --out ckpt_converted/
 
-The mapping covers the namespaces in reference models/speecht5.py:1022-1058
-(SURVEY.md 3.5); unknown keys are listed, shape mismatches raise.
+    python -m speecht5_tpu.cli.convert --format hf --pt ./speecht5_asr/ \
+        --out ckpt_converted/        # arch/dims derived from the HF config
+
+Unknown keys are listed, shape mismatches raise (with --strict).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+
+
+def _load_hf(path: str):
+    """Returns (cfg_or_None, converted variables, unknown keys)."""
+    from ..utils.convert_hf import load_hf_checkpoint, convert_hf_state_dict
+
+    if os.path.isfile(path):  # bare torch state-dict file
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        params, batch_stats, unknown = convert_hf_state_dict(sd_np)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return None, variables, unknown
+
+    from transformers import AutoConfig
+
+    hf_cfg = AutoConfig.from_pretrained(path)
+    arch = (hf_cfg.architectures or ["SpeechT5Model"])[0]
+    import transformers
+
+    model = getattr(transformers, arch).from_pretrained(path)
+    cfg, variables, unknown = load_hf_checkpoint(model)
+    return cfg, variables, unknown
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pt", required=True, help="fairseq .pt checkpoint")
+    p.add_argument("--pt", required=True,
+                   help="fairseq .pt checkpoint, or HF model dir/state-dict")
+    p.add_argument("--format", choices=("fairseq", "hf"), default="fairseq")
     p.add_argument("--arch", default="speecht5_base_asr")
     p.add_argument("--dict", dest="dict_path", default=None)
     p.add_argument("--vocab-size", type=int, default=None)
@@ -36,10 +74,15 @@ def main(argv=None):
 
     _, cfg_kw = load_cli_dictionary(args.dict_path, args.vocab_size)
 
-    cfg = getattr(C, args.arch)(**cfg_kw)
+    if args.format == "hf":
+        hf_cfg, converted, unknown = _load_hf(args.pt)
+        cfg = hf_cfg if hf_cfg is not None else getattr(C, args.arch)(**cfg_kw)
+    else:
+        cfg = getattr(C, args.arch)(**cfg_kw)
+        converted, _, unknown = load_fairseq_checkpoint(args.pt)
+
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
 
-    converted, ckpt_cfg, unknown = load_fairseq_checkpoint(args.pt)
     missing, extra, mism = verify_against(converted, variables)
     report = {
         "unknown_keys": unknown,

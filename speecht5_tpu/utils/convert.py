@@ -244,11 +244,15 @@ def _wn_effective(g: np.ndarray, v: np.ndarray, dim: int) -> np.ndarray:
 def convert_hifigan_state_dict(sd: Dict[str, np.ndarray]) -> dict:
     """torch HiFi-GAN generator state dict -> HiFiGANGenerator params.
 
-    Accepts both HF ``microsoft/speecht5_hifigan`` naming (``upsampler.N``,
+    Accepts HF ``microsoft/speecht5_hifigan`` naming (``upsampler.N``,
     ``mean``/``scale`` buffers) and the original hifigan repo naming
-    (``ups.N``).  Weight-normed convs are converted via the *effective* weight:
-    we store w_eff as weight_v and set weight_g = ||w_eff|| over this module's
-    norm axes, so reconstruction g*v/||v|| == w_eff exactly — lossless and
+    (``ups.N``), with the conv weight stored either plain (``.weight`` — the
+    HF SpeechT5HifiGan state dict before ``apply_weight_norm``), as a legacy
+    weight-norm pair (``.weight_g``/``.weight_v``), or as a torch>=2.1
+    parametrization (``.parametrizations.weight.original{0,1}``).
+    Weight-normed convs are converted via the *effective* weight: we store
+    w_eff as weight_v and set weight_g = ||w_eff|| over this module's norm
+    axes, so reconstruction g*v/||v|| == w_eff exactly — lossless and
     independent of torch's per-module weight_norm dim convention (dim=0 norms
     per OUT channel for Conv1d but per IN channel for ConvTranspose1d).
     """
@@ -260,49 +264,66 @@ def convert_hifigan_state_dict(sd: Dict[str, np.ndarray]) -> dict:
             node = node.setdefault(p, {})
         node[path[-1]] = np.asarray(val, np.float32)
 
-    def wn_conv(dst, g, v, transposed=False):
-        w = _wn_effective(np.asarray(g, np.float64), np.asarray(v, np.float64),
-                          dim=0)
+    def effective(prefix):
+        """Effective conv weight for torch module ``prefix`` regardless of
+        which weight(-norm) representation the state dict uses."""
+        if f"{prefix}.weight" in sd:
+            return np.asarray(sd[f"{prefix}.weight"], np.float64)
+        p0 = f"{prefix}.parametrizations.weight.original0"
+        if p0 in sd:
+            return _wn_effective(
+                np.asarray(sd[p0], np.float64),
+                np.asarray(
+                    sd[f"{prefix}.parametrizations.weight.original1"], np.float64
+                ),
+                dim=0,
+            )
+        return _wn_effective(
+            np.asarray(sd[f"{prefix}.weight_g"], np.float64),
+            np.asarray(sd[f"{prefix}.weight_v"], np.float64),
+            dim=0,
+        )
+
+    def put_conv(dst, w_eff, transposed=False):
         if transposed:
             # torch ConvTranspose1d weight [in, out, k] -> flax [k, in, out]
-            w = np.transpose(w, (2, 0, 1))
+            w = np.transpose(w_eff, (2, 0, 1))
         else:
             # torch Conv1d weight [out, in, k] -> flax [k, in, out]
-            w = np.transpose(w, (2, 1, 0))
+            w = np.transpose(w_eff, (2, 1, 0))
         g_out = np.sqrt((w.astype(np.float64) ** 2).sum(axis=(0, 1)))
         put(dst + ("weight_v",), w)
         put(dst + ("weight_g",), g_out)
 
+    def is_primary(wb: str) -> bool:
+        # each conv converted once, keyed off its main weight tensor
+        return wb in ("weight", "weight_v", "parametrizations.weight.original1")
+
     for key in sd:
-        m = re.match(r"(conv_pre|conv_post)\.(weight_g|weight_v|bias)$", key)
+        m = re.match(r"(conv_pre|conv_post)\.(.+)$", key)
         if m:
             name, wb = m.groups()
             if wb == "bias":
                 put((name, "bias"), sd[key])
-            elif wb == "weight_v":
-                wn_conv((name,), sd[f"{name}.weight_g"], sd[key])
+            elif is_primary(wb):
+                put_conv((name,), effective(name))
             continue
-        m = re.match(r"(?:ups|upsampler)\.(\d+)\.(weight_g|weight_v|bias)$", key)
+        m = re.match(r"(ups|upsampler)\.(\d+)\.(.+)$", key)
         if m:
-            i, wb = m.groups()
+            mod, i, wb = m.groups()
             if wb == "bias":
                 put((f"ups_{i}", "bias"), sd[key])
-            elif wb == "weight_v":
-                wn_conv((f"ups_{i}",),
-                        sd[key.replace("weight_v", "weight_g")], sd[key],
-                        transposed=True)
+            elif is_primary(wb):
+                put_conv((f"ups_{i}",), effective(f"{mod}.{i}"), transposed=True)
             continue
-        m = re.match(
-            r"resblocks\.(\d+)\.(convs1|convs2)\.(\d+)\.(weight_g|weight_v|bias)$",
-            key,
-        )
+        m = re.match(r"resblocks\.(\d+)\.(convs1|convs2)\.(\d+)\.(.+)$", key)
         if m:
             n, cs, j, wb = m.groups()
             dst = (f"resblocks_{n}", f"{cs}_{j}")
             if wb == "bias":
                 put(dst + ("bias",), sd[key])
-            elif wb == "weight_v":
-                wn_conv(dst, sd[key.replace("weight_v", "weight_g")], sd[key])
+            elif is_primary(wb):
+                put_conv(dst, effective(f"resblocks.{n}.{cs}.{j}"))
             continue
         if key in ("mean", "mel_mean"):
             put(("mel_mean",), sd[key])

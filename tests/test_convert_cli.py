@@ -60,3 +60,34 @@ def test_pt_to_orbax_round_trip(tmp_path):
         np.asarray(variables["params"]["text_encoder_prenet"]["embed_tokens"]["embedding"]),
         rtol=1e-6,
     )
+
+
+def test_hf_dir_to_orbax(tmp_path):
+    """--format hf with a local save_pretrained directory: arch derived from
+    the HF config, weights land in the orbax dir, decode-critical params
+    survive the round trip."""
+    from transformers import SpeechT5ForSpeechToText
+    from tests.test_hf_parity import tiny_hf_config
+    from speecht5_tpu.cli.convert import main as convert_main
+    from speecht5_tpu.utils.convert_hf import hf_config_to_ours
+
+    torch.manual_seed(0)
+    hf = SpeechT5ForSpeechToText(tiny_hf_config())
+    src = tmp_path / "hf_model"
+    hf.save_pretrained(str(src), safe_serialization=False)
+
+    out = tmp_path / "converted"
+    report = convert_main([
+        "--format", "hf", "--pt", str(src), "--out", str(out),
+    ])
+    assert not report["unknown_keys"]
+    assert not report["shape_mismatches"]
+
+    cfg = hf_config_to_ours(hf.config)
+    _, variables = init_model(cfg, jax.random.PRNGKey(0))
+    restored, step = CheckpointManager(str(out)).restore_model(variables)
+    ref = hf.state_dict()["speecht5.encoder.wrapped_encoder.embed_positions.pe_k.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["encoder"]["pos_emb"]["pe_k"]["embedding"]),
+        ref, rtol=1e-6,
+    )
