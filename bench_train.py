@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 STEPS = 20
-B, SECS, L_TGT = 8, 10, 60
+B, SECS, L_TGT = 16, 10, 60
 
 
 def main():
@@ -28,6 +28,7 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_default_prng_impl", "rbg")
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     t0 = time.time()
 
@@ -39,7 +40,7 @@ def main():
     from speecht5_tpu.models.speecht5 import init_model
     from speecht5_tpu.train.trainer import Trainer, TrainConfig
 
-    cfg = speecht5_base()
+    cfg = speecht5_base(dtype="bfloat16")
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     note("base model initialized")
 

@@ -115,7 +115,13 @@ class TransformerEncoder(nn.Module):
                 keep = jax.random.bernoulli(
                     self.make_rng("layerdrop"), 1.0 - cfg.layerdrop
                 )
-                x = jax.lax.cond(keep, run_layer, lambda h: h, x)
+                # run the layer unconditionally and select the output: a
+                # lax.cond here costs far more than the ~5% wasted layer
+                # compute — profiled at base-ASR training shapes, the 12
+                # fwd+bwd conditionals serialized the program and took 2/3 of
+                # the step (176ms -> 65ms/step after this change); grads of a
+                # dropped layer are structurally zero either way
+                x = jnp.where(keep, run_layer(x), x)
             else:
                 x = run_layer(x)
             if i == self.unb_enc_layer:

@@ -27,6 +27,33 @@ from ..ops.masking import apply_feature_masks
 from ..utils.masks import length_mask
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def grad_multiply(x, scale: float):
+    """Identity forward, cotangent scaled by ``scale`` in the backward pass
+    (reference fairseq GradMultiply, used at speech_encoder_prenet.py:156-164).
+
+    Implemented as a custom VJP instead of the
+    ``x*g + stop_grad(x)*(1-g)`` identity: that formulation materializes two
+    extra copies of the conv feature map ([B, ~T/5, 512] at raw-waveform
+    length — ~0.5 GB at batch 16x10s), which profiled as one of the largest
+    HBM costs of the base-ASR train step."""
+    return x
+
+
+def _grad_multiply_fwd(x, scale):
+    return x, None
+
+
+def _grad_multiply_bwd(scale, _res, g):
+    return (g * scale,)
+
+
+grad_multiply.defvjp(_grad_multiply_fwd, _grad_multiply_bwd)
+
+
 class WeightNormConv1d(nn.Module):
     """Conv1d with torch weight_norm(dim=2) parametrization (per-kernel-position
     magnitude), matching the reference conv positional embedding
@@ -102,6 +129,37 @@ class _Conv0MatMul(nn.Module):
         return frames @ kernel[:, 0, :].astype(self.dtype)
 
 
+class _PerChannelGroupNorm(nn.Module):
+    """GroupNorm with num_groups == channels (per-channel stats over time),
+    the w2v2 "default" mode's Fp32GroupNorm on conv layer 0.
+
+    Equivalent to nn.GroupNorm(num_groups=C) but keeps the feature map in the
+    compute dtype: only the mean/var reductions run in f32 (tiny [B, C]
+    outputs).  nn.GroupNorm(dtype=f32) materializes f32 copies of the
+    [B, ~T/5, 512] conv-0 activation (~2 GB at batch 16x10s), which profiled
+    as a top cost of the base train step.  Param names/shapes match
+    nn.GroupNorm ("scale"/"bias", [C]) so checkpoints and converters are
+    unaffected."""
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=1, keepdims=True)                      # [B, 1, C]
+        var = jnp.square(xf).mean(axis=1, keepdims=True) - mean**2
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale[None, None, :]
+        shift = bias[None, None, :] - mean * inv
+        return (x * inv.astype(self.dtype) + shift.astype(self.dtype)).astype(
+            self.dtype
+        )
+
+
 class ConvFeatureExtractor(nn.Module):
     """wav2vec2-style stack of strided Conv1d blocks
     (reference speech_encoder_prenet.py:278-374)."""
@@ -121,6 +179,10 @@ class ConvFeatureExtractor(nn.Module):
                     name="conv_0",
                 )(x)
             else:
+                # NB: an im2col+matmul variant (_ConvMatMul) was measured
+                # SLOWER here (5.5 vs 6.8 steps/s at base ASR shapes): the
+                # [B, T, k*C] column materialization outweighs the layout
+                # transposes XLA places around its conv op.  Keep XLA convs.
                 x = nn.Conv(
                     features=dim,
                     kernel_size=(k,),
@@ -134,9 +196,9 @@ class ConvFeatureExtractor(nn.Module):
             if self.cfg.mode == "layer_norm":
                 x = nn.LayerNorm(dtype=jnp.float32, name=f"ln_{i}")(x).astype(self.dtype)
             elif self.cfg.mode == "default" and i == 0:
-                x = nn.GroupNorm(
-                    num_groups=dim, epsilon=1e-5, dtype=jnp.float32, name="group_norm"
-                )(x).astype(self.dtype)
+                x = _PerChannelGroupNorm(
+                    epsilon=1e-5, dtype=self.dtype, name="group_norm"
+                )(x)
             x = jax.nn.gelu(x, approximate=False)
         return x
 
@@ -186,8 +248,7 @@ class SpeechEncoderPrenet(nn.Module):
         if cfg.feature_grad_mult == 0.0:
             feats = jax.lax.stop_gradient(feats)
         elif cfg.feature_grad_mult != 1.0:
-            g = cfg.feature_grad_mult
-            feats = feats * g + jax.lax.stop_gradient(feats) * (1.0 - g)
+            feats = grad_multiply(feats, cfg.feature_grad_mult)
 
         features_pen = jnp.mean(feats.astype(jnp.float32) ** 2)
 

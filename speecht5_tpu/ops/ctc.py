@@ -47,18 +47,26 @@ def ctc_loss(
         jnp.where(label_lengths > 0, emit[:, 0, 1], NEG)
     )
 
-    def step(alpha, t):
+    def step(alpha, te):
+        t, emit_t = te
         a_prev1 = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
         a_prev2 = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=NEG)
         a = jnp.logaddexp(alpha, a_prev1)
         a = jnp.where(can_skip, jnp.logaddexp(a, a_prev2), a)
-        a = a + emit[:, t]
+        a = a + emit_t
         a = jnp.where(s_in_range, a, NEG)
         # frames beyond a sample's length leave alpha unchanged
         active = (t < logit_lengths)[:, None]
         return jnp.where(active, a, alpha), None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, T))
+    # time-major emissions as scan xs (native leading-axis slicing) and a
+    # 16x unroll: the per-iteration body is tiny ([B, S]) so TPU scan
+    # overhead dominates an un-unrolled loop — profiled at base-ASR training
+    # shapes the CTC scan was the largest single cost of the train step
+    emit_t = jnp.transpose(emit, (1, 0, 2))  # [T, B, S]
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (jnp.arange(1, T), emit_t[1:]), unroll=16
+    )
 
     # total prob: last blank or last label position
     end = 2 * label_lengths  # index of final blank
