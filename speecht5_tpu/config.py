@@ -112,6 +112,10 @@ class TransformerConfig:
     # Forward-only (no custom VJP), so it engages only on deterministic
     # passes; XLA remains the training path.
     use_pallas_attn: bool = False
+    # use the differentiable Pallas fused attention (custom VJP, in-kernel
+    # counter-hash dropout) for full self-attention on TRAINING passes —
+    # avoids every [B, H, T, T] probability/mask tensor in HBM.
+    use_pallas_attn_train: bool = False
 
     @property
     def head_dim(self) -> int:

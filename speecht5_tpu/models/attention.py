@@ -104,6 +104,9 @@ class MultiheadAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False   # fused banded-bias kernel on deterministic
     #                            full self-attention (see config.use_pallas_attn)
+    use_pallas_train: bool = False  # differentiable fused kernel (custom VJP,
+    #                            in-kernel dropout) on non-deterministic full
+    #                            self-attention (config.use_pallas_attn_train)
 
     @property
     def head_dim(self):
@@ -196,10 +199,9 @@ class MultiheadAttention(nn.Module):
 
         Tk = k.shape[1]
 
-        if (
+        use_fused = (
             pos_band is not None
-            and self.use_pallas
-            and deterministic
+            and (self.use_pallas if deterministic else self.use_pallas_train)
             and not return_weights
             and not causal
             and cache is None
@@ -207,12 +209,16 @@ class MultiheadAttention(nn.Module):
             # VMEM bound: the per-program band block is Dh*64*T_pad*4 bytes;
             # beyond ~1k keys it overflows the ~16MB budget — fall back to XLA
             and Tk <= 1024
-        ):
+        )
+        if use_fused:
             # fused kernel: scores + in-kernel banded bias + mask + softmax +
-            # PV in one pass, no [B, H, Tq, Tk] tensors in HBM.  key_valid is
-            # a contiguous prefix mask in every data path here (right-padded
-            # collation), expressed as per-row lengths.
-            from ..ops.pallas_kernels import banded_flash_attention
+            # (dropout on the train path) + PV in one pass, no [B, H, Tq, Tk]
+            # tensors in HBM.  key_valid is a contiguous prefix mask in every
+            # data path here (right-padded collation), expressed as per-row
+            # lengths.
+            from ..ops.pallas_kernels import (
+                banded_flash_attention, banded_attention_train,
+            )
 
             N = B * H
             qf = q.transpose(0, 2, 1, 3).reshape(N, Tq, Dh)
@@ -224,7 +230,18 @@ class MultiheadAttention(nn.Module):
                 )
             else:
                 lengths = None
-            o = banded_flash_attention(qf, kf, vf, pos_band, lengths)
+            if deterministic:
+                o = banded_flash_attention(qf, kf, vf, pos_band, lengths)
+            else:
+                seed = jnp.int32(0)
+                if self.dropout > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0, 2**31 - 1, jnp.int32
+                    )
+                o = banded_attention_train(
+                    qf, kf, vf, pos_band, lengths,
+                    dropout_rate=self.dropout, seed=seed,
+                )
             o = o.reshape(B, H, Tq, Dh).transpose(0, 2, 1, 3)
             out = self.out_proj(o.reshape(B, Tq, self.d_model))
             return out, None, new_cache

@@ -68,7 +68,8 @@ class EncoderLayer(nn.Module):
         self.self_attn = MultiheadAttention(
             cfg.d_model, cfg.num_heads, cfg.attention_dropout,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            use_pallas=cfg.use_pallas_attn, name="self_attn",
+            use_pallas=cfg.use_pallas_attn,
+            use_pallas_train=cfg.use_pallas_attn_train, name="self_attn",
         )
         self.self_attn_layer_norm = _ln(cfg, "self_attn_layer_norm")
         self.final_layer_norm = _ln(cfg, "final_layer_norm")

@@ -253,6 +253,294 @@ def banded_flash_attention(q, k, v, pe_band, lengths=None, *,
     return out[:, :T]
 
 
+# ============================== banded-bias fused attention: TRAINING (VJP)
+
+
+def _dropout_keep(seed, n, q_offset, shape, rate: float):
+    """Counter-based in-kernel dropout keep-mask.
+
+    A stateless 32-bit finalizer hash of (seed, batch*head index n, global
+    element coordinates) — the same (seed, n, position) always yields the
+    same bit, so the backward kernels regenerate the forward's mask exactly
+    without any [N, T, T] mask tensor in HBM.  Runs identically on Mosaic
+    and in interpret mode (pltpu.prng_* has no CPU lowering), and dropout
+    needs statistical, not cryptographic, quality.
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.uint32)
+    x = (row + jnp.uint32(q_offset)) * jnp.uint32(0x9E3779B1)
+    x = x ^ (col * jnp.uint32(0x85EBCA77))
+    x = x + (jnp.uint32(seed) + jnp.uint32(n) * jnp.uint32(0x27D4EB2F))
+    # lowbias32 finalizer
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    thresh = min(int((1.0 - rate) * 4294967296.0), 4294967295)
+    return (x < jnp.uint32(thresh)).astype(jnp.float32)
+
+
+def _train_attn_probs(len_ref, q, k_row, band, n):
+    """Shared scores -> normalized probabilities.  Every program sees the
+    full key row, so the softmax stats are recomputed in the backward
+    kernels instead of saving a logsumexp residual (whose [N, T] layout
+    would violate Mosaic's (8, 128) block-tiling rules at small q blocks)."""
+    Tk = k_row.shape[0]
+    s = jax.lax.dot_general(
+        q, k_row, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qf = q.astype(jnp.float32)
+    s = s + jnp.sum(qf.T[:, :, None] * band.astype(jnp.float32), axis=0)
+    ok = jax.lax.broadcasted_iota(jnp.int32, (1, Tk), 1) < len_ref[n]
+    s = jnp.where(ok, s, NEG_INF)
+    m = s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+    return p / l, qf
+
+
+def _train_attn_fwd_kernel(len_ref, seed_ref, q_ref, k_ref, v_ref, band_ref,
+                           o_ref, *, rate: float):
+    """Fused fwd: scores + in-kernel banded bias + prefix mask + softmax +
+    probability dropout + PV.
+    Grid (q-block i, batch*head n), n innermost (band block reused)."""
+    i = pl.program_id(0)
+    n = pl.program_id(1)
+    q = q_ref[0]
+    p, _ = _train_attn_probs(len_ref, q, k_ref[0], band_ref[:], n)
+    if rate > 0.0:
+        keep = _dropout_keep(seed_ref[0], n, i * q.shape[0], p.shape, rate)
+        p = p * keep * (1.0 / (1.0 - rate))
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _train_attn_bwd_ds(p, keep_scale, do, o, v_row):
+    """ds = dLoss/d(scores): softmax jacobian with dropout folded in."""
+    dpn = jax.lax.dot_general(
+        do, v_row, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if keep_scale is not None:
+        dpn = dpn * keep_scale
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    return p * (dpn - delta)
+
+
+def _train_attn_bwd_dq_kernel(len_ref, seed_ref, q_ref, k_ref, v_ref,
+                              band_ref, o_ref, do_ref,
+                              dq_ref, dband_ref, *, rate: float):
+    """K1: dq and dband.  Grid (i, n) with n innermost so the dband block
+    (indexed by i alone) is revisited consecutively and accumulates over n."""
+    i = pl.program_id(0)
+    n = pl.program_id(1)
+    p, qf = _train_attn_probs(len_ref, q_ref[0], k_ref[0], band_ref[:], n)
+    keep_scale = None
+    if rate > 0.0:
+        keep_scale = _dropout_keep(
+            seed_ref[0], n, i * q_ref.shape[1], p.shape, rate
+        ) * (1.0 / (1.0 - rate))
+    ds = _train_attn_bwd_ds(p, keep_scale, do_ref[0], o_ref[0], v_ref[0])
+    dq = jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    band_f = band_ref[:].astype(jnp.float32)             # [D, BQ, Tk]
+    dq_band = jnp.sum(band_f * ds[None, :, :], axis=2).T  # [BQ, D]
+    dq_ref[0] = (dq + dq_band).astype(dq_ref.dtype)
+    contrib = qf.T[:, :, None] * ds[None, :, :]           # [D, BQ, Tk]
+
+    @pl.when(n == 0)
+    def _init():
+        dband_ref[...] = contrib
+
+    @pl.when(n != 0)
+    def _acc():
+        dband_ref[...] += contrib
+
+
+def _train_attn_bwd_dkv_kernel(len_ref, seed_ref, q_ref, k_ref, v_ref,
+                               band_ref, o_ref, do_ref,
+                               dk_ref, dv_ref, *, rate: float):
+    """K2: dk and dv.  Grid (n, i) with i innermost so the dk/dv blocks
+    (indexed by n alone) accumulate over the q blocks."""
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    p, qf = _train_attn_probs(len_ref, q_ref[0], k_ref[0], band_ref[:], n)
+    keep_scale = None
+    if rate > 0.0:
+        keep_scale = _dropout_keep(
+            seed_ref[0], n, i * q_ref.shape[1], p.shape, rate
+        ) * (1.0 / (1.0 - rate))
+    do = do_ref[0]
+    pd = p * keep_scale if keep_scale is not None else p
+    dv = jax.lax.dot_general(                             # [Tk, D]
+        pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = _train_attn_bwd_ds(p, keep_scale, do, o_ref[0], v_ref[0])
+    dk = jax.lax.dot_general(                             # [Tk, D]
+        ds.astype(qf.dtype), qf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv.astype(dv_ref.dtype)
+
+    @pl.when(i != 0)
+    def _acc():
+        dk_ref[0] += dk.astype(dk_ref.dtype)
+        dv_ref[0] += dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def banded_flash_attention_train(q, k, v, pe_band, lengths, seed,
+                                 rate: float, block_q: int):
+    return _bfa_train_fwd(q, k, v, pe_band, lengths, seed, rate, block_q)[0]
+
+
+def _bfa_train_fwd(q, k, v, pe_band, lengths, seed, rate, block_q):
+    N, T, D = q.shape
+    bq = block_q
+    T_p = _round_up(T, max(bq, 128))
+    qp = jnp.pad(q, ((0, 0), (0, T_p - T), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, T_p - T), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, T_p - T), (0, 0)))
+    bp = jnp.pad(pe_band, ((0, 0), (0, T_p - T), (0, T_p - T)))
+    lens = lengths.astype(jnp.int32)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    o = pl.pallas_call(
+        functools.partial(_train_attn_fwd_kernel, rate=rate),
+        grid_spec=_bfa_grid(N, T_p, D, bq, fwd=True),
+        out_shape=jax.ShapeDtypeStruct((N, T_p, D), q.dtype),
+        interpret=_interpret(),
+    )(lens, seed_arr, qp, kp, vp, bp)
+    return o[:, :T], (qp, kp, vp, bp, lens, seed_arr, o, T)
+
+
+def _bfa_train_bwd(rate, block_q, res, g):
+    qp, kp, vp, bp, lens, seed_arr, o_full, T = res
+    N, T_p, D = qp.shape
+    bq = block_q
+    gp = jnp.pad(g, ((0, 0), (0, T_p - T), (0, 0)))
+
+    # K1 carries the largest VMEM footprint (band + its f32 cast + the f32
+    # dband accumulator + the outer-product contribution, all [D, bq, T_p]);
+    # a 16-row q block keeps it under the 16MB scoped-vmem limit at T_p=512.
+    bq1 = min(bq, 16)
+    dq, dband = pl.pallas_call(
+        functools.partial(_train_attn_bwd_dq_kernel, rate=rate),
+        grid_spec=_bfa_grid(N, T_p, D, bq1, fwd=False, order="in"),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T_p, D), qp.dtype),
+            jax.ShapeDtypeStruct((D, T_p, T_p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(lens, seed_arr, qp, kp, vp, bp, o_full, gp)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_train_attn_bwd_dkv_kernel, rate=rate),
+        grid_spec=_bfa_grid(N, T_p, D, bq, fwd=False, order="ni"),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, T_p, D), qp.dtype),
+            jax.ShapeDtypeStruct((N, T_p, D), qp.dtype),
+        ],
+        interpret=_interpret(),
+    )(lens, seed_arr, qp, kp, vp, bp, o_full, gp)
+
+    return (
+        dq[:, :T],
+        dk[:, :T],
+        dv[:, :T],
+        dband[:, :T, :T].astype(bp.dtype),  # cotangent dtype must match primal
+        None,
+        None,
+    )
+
+
+def _bfa_grid(N, T_p, D, bq, *, fwd: bool, order: str = "in"):
+    """Grid specs for the train kernels.  order 'in' = (i, n) n innermost
+    (fwd and K1: band/dband blocks keyed by i persist across n); 'ni' =
+    (n, i) i innermost (K2: dk/dv blocks keyed by n persist across i)."""
+    if order == "in":
+        grid = (T_p // bq, N)
+        at = lambda f: (lambda i, n, *_: f(i, n))
+    else:
+        grid = (N, T_p // bq)
+        at = lambda f: (lambda n, i, *_: f(i, n))
+    qspec = pl.BlockSpec((1, bq, D), at(lambda i, n: (n, i, 0)),
+                         memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, T_p, D), at(lambda i, n: (n, 0, 0)),
+                       memory_space=pltpu.VMEM)
+    band = pl.BlockSpec((D, bq, T_p), at(lambda i, n: (0, i, 0)),
+                        memory_space=pltpu.VMEM)
+    if fwd:
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[qspec, row, row, band],
+            out_specs=qspec,
+        )
+    in_specs = [qspec, row, row, band, qspec, qspec]
+    if order == "in":      # K1: dq per (n,i), dband accumulated over n
+        out_specs = [
+            qspec,
+            pl.BlockSpec((D, bq, T_p), at(lambda i, n: (0, i, 0)),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:                  # K2: dk/dv accumulated over i
+        out_specs = [row, row]
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=grid, in_specs=in_specs,
+        out_specs=out_specs,
+    )
+
+
+banded_flash_attention_train.defvjp(_bfa_train_fwd, _bfa_train_bwd)
+
+
+def banded_attention_train(q, k, v, pe_band, lengths=None, *,
+                           dropout_rate: float = 0.0, seed=0,
+                           block_q: int = 32):
+    """Differentiable fused self-attention with the in-kernel banded rel-pos
+    bias, prefix-length masking and probability dropout (regenerated from the
+    counter-hash PRNG in the backward kernels, so no [N, T, T] probability or
+    mask tensor ever reaches HBM — activation memory is O(N*T*D)).
+
+    q/k/v: [N, T, D] (q pre-scaled); pe_band: [D, T, T]
+    (attention.band_from_table — differentiable, shared across layers);
+    lengths: [N] contiguous valid key counts; seed: traced int32 scalar.
+    Gradients flow to q, k, v and pe_band.
+
+    PERF NOTE (measured on TPU v5e): at base-ASR training shapes (B16,
+    T499) this path is ~8x slower than the XLA attention — computing the
+    bias from the band in-kernel is O(D*T^2) VPU work per program, while
+    XLA's bias is one MXU einsum against the shared band.  At long
+    sequences (encoder-only, B8 x T2000 x 12 layers) the two paths are at
+    parity (1021 vs 1022 ms/step) and hit the same OOM ceiling (the
+    [D, T, T] band and its f32 cotangent offset the probability-tensor
+    savings).  Keep use_pallas_attn_train OFF for throughput; the kernel
+    remains the correctness-tested substrate for a future
+    table-resident bias variant (blocked on Mosaic in-kernel gather).
+    """
+    N, T, _ = q.shape
+    if lengths is None:
+        lengths = jnp.full((N,), T, jnp.int32)
+    return banded_flash_attention_train(
+        q, k, v, pe_band, lengths, jnp.asarray(seed, jnp.int32),
+        float(dropout_rate), int(block_q),
+    )
+
+
 # ===================================================== flash attention + bias
 
 
