@@ -9,6 +9,7 @@ from .speech2c import Speech2CModel
 from .yitrans import YiTransModel, yitrans_tiny
 from .vatlm import VATLMModel, vatlm_tiny
 from .wavllm import WavLLMModel, wavllm_tiny
+from .wavlm import WavLMEncoderModel, wavlm_base, wavlm_large
 from .vallex import VALLEX, vallex_tiny, init_vallex
 from .fastspeech2 import FastText2Unit, fastspeech2_tiny, init_fastspeech2
 
@@ -16,7 +17,8 @@ __all__ = [
     "SpeechT5Model", "init_model", "HiFiGANGenerator", "HiFiGANConfig",
     "TransformerLM", "SpeechLMModel", "speechlm_tiny", "SpeechUTModel",
     "speechut_tiny", "Speech2CModel", "YiTransModel", "yitrans_tiny",
-    "VATLMModel", "vatlm_tiny", "WavLLMModel", "wavllm_tiny", "VALLEX",
+    "VATLMModel", "vatlm_tiny", "WavLLMModel", "wavllm_tiny",
+    "WavLMEncoderModel", "wavlm_base", "wavlm_large", "VALLEX",
     "vallex_tiny", "init_vallex", "FastText2Unit", "fastspeech2_tiny",
     "init_fastspeech2",
 ]

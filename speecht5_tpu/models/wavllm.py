@@ -12,9 +12,11 @@ Behavioral spec from reference WavLLM/wavllm/models/:
 - data packs [left_prompt | speech | right_prompt | target] token segments
   around the audio features (speechllm_dataset.py:145-163).
 
-All-native flax: no HF checkpoints are loadable in this image, so the
-encoders are the same topologies at configurable width; the SFT/decode
-surfaces mirror the reference contract.
+All-native flax, at the released checkpoints' true topologies: the Whisper
+encoder, the WavLM encoder (models/wavlm.py) and the LLaMA decoder each have
+an HF ``transformers`` state-dict converter (utils/convert_components.py)
+with numeric parity asserted in tests/test_wavllm_hf.py, so the actual
+pretrained weights the reference builds on can be loaded.
 """
 
 from __future__ import annotations
@@ -26,12 +28,11 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..config import TransformerConfig, ConvFeatureConfig, RelPosConfig
+from ..config import TransformerConfig, RelPosConfig
 from ..ops.positional import espnet_sinusoidal_table
 from ..utils.masks import length_mask
 from .layers import EncoderLayer
-from .prenets import ConvFeatureExtractor
-from .encoder import TransformerEncoder
+from .wavlm import WavLMConfig, WavLMEncoderModel, wavlm_tiny
 
 
 @dataclass(frozen=True)
@@ -42,12 +43,10 @@ class WavLLMConfig:
     whisper_layers: int = 32
     whisper_heads: int = 20
     whisper_ffn: int = 5120
-    # wavlm-style encoder
+    max_source_positions: int = 1500   # whisper learned-position table length
+    # wavlm encoder (true checkpoint topology, models/wavlm.py)
     use_wavlm: bool = True
-    wavlm_conv: ConvFeatureConfig = field(default_factory=ConvFeatureConfig)
-    wavlm_encoder: TransformerConfig = field(
-        default_factory=lambda: TransformerConfig(num_layers=12)
-    )
+    wavlm: WavLMConfig = field(default_factory=WavLMConfig)
     wavlm_output_weight: float = 0.5
     # llama decoder
     vocab_size: int = 32000
@@ -79,13 +78,8 @@ class WavLLMConfig:
 def wavllm_tiny(**kw) -> WavLLMConfig:
     cfg = WavLLMConfig(
         n_mels=20, whisper_d=32, whisper_layers=2, whisper_heads=4,
-        whisper_ffn=64,
-        wavlm_conv=ConvFeatureConfig(layers=((16, 10, 5), (16, 8, 4), (32, 4, 4))),
-        wavlm_encoder=TransformerConfig(
-            d_model=32, ffn_dim=64, num_layers=2, num_heads=4,
-            dropout=0.0, attention_dropout=0.0,
-            rel_pos=RelPosConfig(max_distance=8),
-        ),
+        whisper_ffn=64, max_source_positions=64,
+        wavlm=wavlm_tiny(),
         vocab_size=48, llama_dim=32, llama_layers=2, llama_heads=4,
         llama_ffn=64, max_seq_len=128, adapter_mid=32, lora_r=4,
         lora_alpha=8, lora_dropout=0.0,
@@ -251,8 +245,10 @@ class LLaMABlock(nn.Module):
 
 
 class WhisperStyleEncoder(nn.Module):
-    """HF Whisper encoder topology: 2 convs (stride 1, 2) + sinusoidal
-    positions + pre-LN transformer + final LN (reference whisper_encoder.py)."""
+    """HF Whisper encoder topology: 2 convs (k=3, pad 1, stride 1 then 2) +
+    learned positional table (sinusoidal-initialized, stored in checkpoints)
+    + pre-LN transformer + final LN (reference whisper_encoder.py; HF
+    modeling_whisper.WhisperEncoder)."""
 
     cfg: WavLLMConfig
     dtype: jnp.dtype = jnp.float32
@@ -260,15 +256,21 @@ class WhisperStyleEncoder(nn.Module):
     @nn.compact
     def __call__(self, mel, mel_lengths, deterministic=True):
         cfg = self.cfg
-        x = nn.Conv(cfg.whisper_d, (3,), padding="SAME", dtype=self.dtype,
+        x = nn.Conv(cfg.whisper_d, (3,), padding=[(1, 1)], dtype=self.dtype,
                     name="conv1")(mel.astype(self.dtype))
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Conv(cfg.whisper_d, (3,), strides=(2,), padding="SAME",
+        x = nn.Conv(cfg.whisper_d, (3,), strides=(2,), padding=[(1, 1)],
                     dtype=self.dtype, name="conv2")(x)
         x = jax.nn.gelu(x, approximate=False)
         T = x.shape[1]
-        pos = jnp.asarray(espnet_sinusoidal_table(T, cfg.whisper_d))
-        x = x + pos[None].astype(x.dtype)
+        pos = self.param(
+            "embed_positions",
+            lambda _key, shape: jnp.asarray(
+                espnet_sinusoidal_table(shape[0], shape[1]), jnp.float32
+            ),
+            (cfg.max_source_positions, cfg.whisper_d),
+        )
+        x = x + pos[None, :T].astype(x.dtype)
         out_lengths = (mel_lengths + 1) // 2
         valid = length_mask(out_lengths, T)
         lcfg = TransformerConfig(
@@ -314,15 +316,7 @@ class WavLLMModel(nn.Module):
         )
         self.audio_proj = nn.Dense(cfg.llama_dim, dtype=dt, name="audio_proj")
         if cfg.use_wavlm:
-            self.wavlm_fe = ConvFeatureExtractor(
-                cfg.wavlm_conv, dt, name="wavlm_fe"
-            )
-            self.wavlm_fe_proj = nn.Dense(
-                cfg.wavlm_encoder.d_model, dtype=dt, name="wavlm_fe_proj"
-            )
-            self.wavlm_encoder = TransformerEncoder(
-                cfg.wavlm_encoder, dtype=dt, name="wavlm_encoder"
-            )
+            self.wavlm = WavLMEncoderModel(cfg.wavlm, dt, name="wavlm")
             self.wavlm_adapter = Conv1dSubsampler(
                 cfg.adapter_mid, cfg.llama_dim, dt, name="wavlm_adapter"
             )
@@ -332,8 +326,10 @@ class WavLLMModel(nn.Module):
         self.tok_embeddings = nn.Embed(
             cfg.vocab_size, cfg.llama_dim, name="tok_embeddings"
         )
+        # "llama_layers_" namespace keeps the LLaMA trunk distinct from the
+        # encoder layer stacks for checkpoint grafting (convert_components.py)
         self.layers = [
-            LLaMABlock(cfg, dt, name=f"layers_{i}")
+            LLaMABlock(cfg, dt, name=f"llama_layers_{i}")
             for i in range(cfg.llama_layers)
         ]
         self.norm = RMSNorm(cfg.llama_dim, name="norm")
@@ -361,13 +357,9 @@ class WavLLMModel(nn.Module):
         x, lens = self.whisper_adapter(x, lens)
         feats = self.audio_proj(x)
         if cfg.use_wavlm and wav is not None:
-            w = self.wavlm_fe(wav)
-            w = self.wavlm_fe_proj(w)
-            wl = cfg.wavlm_conv.out_length(wav_lengths)
-            enc = self.wavlm_encoder(
-                w, length_mask(wl, w.shape[1]), deterministic=deterministic
-            )
-            w, wl = self.wavlm_adapter(enc["encoder_out"], wl)
+            w, _ = self.wavlm(wav, wav_lengths, deterministic=deterministic)
+            wl = cfg.wavlm.conv.out_length(wav_lengths)
+            w, wl = self.wavlm_adapter(w, wl)
             w = self.wavlm_audio_proj(w)
             T = min(feats.shape[1], w.shape[1])
             feats = feats[:, :T] + cfg.wavlm_output_weight * w[:, :T]

@@ -91,3 +91,46 @@ def test_hf_dir_to_orbax(tmp_path):
         np.asarray(restored["params"]["encoder"]["pos_emb"]["pe_k"]["embedding"]),
         ref, rtol=1e-6,
     )
+
+
+def test_component_wavlm_to_orbax(tmp_path):
+    """--component wavlm: a bare HF WavLM state-dict file converts into a
+    params tree prefixed for WavLLMModel grafting; the pretrained weights
+    survive the orbax round trip into an initialized WavLLM model."""
+    from transformers import WavLMModel as HFWavLMModel
+    from tests.test_wavllm_hf import tiny_wavlm_hf
+    from speecht5_tpu.cli.convert import main as convert_main
+    from speecht5_tpu.models.wavllm import WavLLMModel, wavllm_tiny
+    from speecht5_tpu.utils.convert_components import wavlm_config_from_hf
+    from speecht5_tpu.utils.checkpoint import partial_load
+
+    torch.manual_seed(0)
+    hf = HFWavLMModel(tiny_wavlm_hf())
+    bin_path = tmp_path / "wavlm.bin"
+    torch.save(hf.state_dict(), str(bin_path))
+
+    out = tmp_path / "converted"
+    report = convert_main([
+        "--format", "hf", "--component", "wavlm", "--strict",
+        "--pt", str(bin_path), "--out", str(out),
+    ])
+    assert not report["unknown_keys"]
+
+    cfg = wavllm_tiny(wavlm=wavlm_config_from_hf(hf.config))
+    model = WavLLMModel(cfg)
+    mel = jnp.zeros((1, 8, cfg.n_mels), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), mel, jnp.asarray([8]),
+        jnp.asarray([[5]]), jnp.asarray([[9]]),
+        jnp.zeros((1, 400)), jnp.asarray([400]), method="forward_sft",
+    )
+
+    restored, step = CheckpointManager(str(out)).restore_model(
+        {"params": {"wavlm": variables["params"]["wavlm"]}}
+    )
+    grafted = partial_load(variables["params"], restored["params"])
+    np.testing.assert_allclose(
+        np.asarray(grafted["wavlm"]["fp_projection"]["kernel"]),
+        hf.state_dict()["feature_projection.projection.weight"].numpy().T,
+        rtol=1e-6,
+    )

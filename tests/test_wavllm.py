@@ -101,7 +101,7 @@ class TestWavLLMSFT:
         loss, grads = jax.value_and_grad(loss_fn)(v["params"])
         assert np.isfinite(float(loss))
         # LoRA B grads are nonzero somewhere (A nonzero at init)
-        gb = grads["layers_0"]["wq"]["lora_B"]
+        gb = grads["llama_layers_0"]["wq"]["lora_B"]
         assert np.abs(np.asarray(gb)).sum() > 0
 
     def test_lora_param_filter(self, wavllm):
