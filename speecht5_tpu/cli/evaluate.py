@@ -51,6 +51,9 @@ def main(argv=None):
                         "average 10, SpeechT5/README.md:437-441)")
     p.add_argument("--metric", default="wer", choices=["wer", "bleu"],
                    help="s2t scoring: WER for ASR, corpus BLEU for ST")
+    p.add_argument("--override", action="append", default=[],
+                   help="config field override, dotted path = literal, "
+                        "repeatable (must match the training overrides)")
     args = p.parse_args(argv)
     args.max_tokens = 0  # build_dataset compat
 
@@ -67,6 +70,7 @@ def main(argv=None):
 
     preset = getattr(C, args.arch)
     cfg = preset(**cfg_kw)
+    cfg = C.apply_overrides(cfg, args.override)
     if args.task == "s2t" and dictionary is None:
         raise SystemExit("--dict is required for --task s2t (hypotheses are "
                          "detokenized through the dictionary)")

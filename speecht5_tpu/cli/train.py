@@ -202,6 +202,10 @@ def main(argv=None):
                    help="orbax checkpoint dir for warm start (non-strict)")
     p.add_argument("--vocab-size", type=int, default=None,
                    help="override vocab (tasks without a dictionary)")
+    p.add_argument("--override", action="append", default=[],
+                   help="config field override, dotted path = literal, "
+                        "repeatable: --override sid.encoder_cls=True "
+                        "--override se_predict=masking")
     args = p.parse_args(argv)
 
     import jax
@@ -220,6 +224,7 @@ def main(argv=None):
 
     preset = getattr(C, args.arch)
     cfg = preset(**cfg_kw)
+    cfg = C.apply_overrides(cfg, args.override)
     if args.mask_prob is not None:
         cfg = C.replace(
             cfg, masking=C.replace(

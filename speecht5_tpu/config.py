@@ -21,6 +21,41 @@ def replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def apply_overrides(cfg, overrides):
+    """Apply ``"dotted.path=python_literal"`` strings to a (nested, frozen)
+    dataclass config — the CLI's generic access to every config field, in
+    place of the reference's ~120 argparse flags (reference
+    tasks/speecht5.py:44-270, models/speecht5.py:117-614).
+
+    >>> apply_overrides(cfg, ["sid.encoder_cls=True", "se_predict='masking'"])
+    """
+    import ast
+
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        if not _:
+            raise ValueError(f"override {item!r} is not of the form path=value")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # bare string convenience: se_predict=masking
+        keys = path.strip().split(".")
+        # rebuild the chain of frozen dataclasses bottom-up
+        nodes = [cfg]
+        for k in keys[:-1]:
+            nodes.append(getattr(nodes[-1], k))
+        if not hasattr(nodes[-1], keys[-1]):
+            raise AttributeError(
+                f"config has no field {path!r} ({type(nodes[-1]).__name__}."
+                f"{keys[-1]} missing)"
+            )
+        updated = dataclasses.replace(nodes[-1], **{keys[-1]: value})
+        for node, k in zip(reversed(nodes[:-1]), reversed(keys[:-1])):
+            updated = dataclasses.replace(node, **{k: updated})
+        cfg = updated
+    return cfg
+
+
 @dataclass(frozen=True)
 class ConvFeatureConfig:
     """wav2vec2-style Conv1d waveform feature extractor.
@@ -175,6 +210,13 @@ class SIDConfig:
     no_pooling_bn: bool = False
     no_embed_postnet: bool = False
     normalize_postnet: bool = False
+    # prepend a [CLS] vector (zero token through the text decoder prenet) to
+    # the encoder input; pooling='encoder-cls' then reads a real CLS state
+    # (reference speecht5.py:826-828, _integrate_with_speaker_cls :965-990)
+    encoder_cls: bool = False
+    # shuffle encoder input frames during training (reference
+    # speecht5.py:821-825, sid_shuffle_encoder_input)
+    shuffle_encoder_input: bool = False
 
 
 @dataclass(frozen=True)
@@ -234,6 +276,12 @@ class SpeechT5Config:
 
     # speaker identification head (s2c fine-tune)
     sid: SIDConfig = field(default_factory=SIDConfig)
+
+    # SE (s2s) output mode: None | 'masking' | 'target' | 'delta' — how the
+    # decoder postnet output combines with the source fbank (reference
+    # speecht5.py:937-952; requires reduction_factor == 1 and the
+    # se_decoder_input='source' data path supplying src_mel)
+    se_predict: Optional[str] = None
 
     # ctc head over encoder output shares the text embedding when True
     share_ctc_embed: bool = False

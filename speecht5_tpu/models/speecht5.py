@@ -129,10 +129,25 @@ class SpeechT5Model(nn.Module):
     # ------------------------------------------------------------------ encode
 
     def encode_speech(self, wav, wav_lengths, *, mask=False, deterministic=True,
-                      with_ctc=False):
+                      with_ctc=False, prepend_cls=False, shuffle=False):
         x, valid, time_mask, feat_pen = self.speech_encoder_prenet(
             wav, wav_lengths, mask=mask, deterministic=deterministic
         )
+        if shuffle:
+            # SID train-time augmentation: one time permutation shared across
+            # the batch (reference speecht5.py:821-825)
+            perm = jax.random.permutation(self.make_rng("dropout"), x.shape[1])
+            x, valid = x[:, perm], valid[:, perm]
+        if prepend_cls:
+            # [CLS] = zero token through the text decoder prenet, prepended
+            # with a cleared mask slot (reference speecht5.py:826-828,
+            # _integrate_with_speaker_cls :965-990)
+            cls_tok = jnp.zeros((x.shape[0], 1), jnp.int32)
+            cls_vec, _ = self.text_decoder_prenet(cls_tok, deterministic=True)
+            x = jnp.concatenate([cls_vec.astype(x.dtype), x], axis=1)
+            valid = jnp.concatenate(
+                [jnp.ones((x.shape[0], 1), bool), valid], axis=1
+            )
         enc = self.encoder(
             x, valid, deterministic=deterministic, with_ctc=with_ctc
         )
@@ -299,6 +314,27 @@ class SpeechT5Model(nn.Module):
             enc, dec_in, tgt_lengths, spkembs,
             deterministic=deterministic, need_attn=True,
         )
+        if self.cfg.se_predict is not None:
+            # SE output mode (reference speecht5.py:937-952): the network
+            # predicts a mask over / delta from the source fbank rather than
+            # the target directly.  Same-resolution combination requires r=1.
+            assert self.cfg.reduction_factor == 1, (
+                "se_predict requires reduction_factor == 1"
+            )
+            assert src_mel is not None, (
+                "se_predict requires the se_decoder_input='source' data path"
+            )
+            if self.cfg.se_predict == "masking":
+                before = jax.nn.sigmoid(before) * src_mel
+                after = jax.nn.sigmoid(after) * src_mel
+            elif self.cfg.se_predict == "delta":
+                before = before - src_mel
+                after = after - src_mel
+            elif self.cfg.se_predict != "target":
+                raise ValueError(
+                    f"se_predict={self.cfg.se_predict!r} not in "
+                    "[masking, target, delta]"
+                )
         return before, after, stop_logits, attn, enc["valid_mask"]
 
     def _sid_head(self, enc, target_onehot=None, deterministic=True):
@@ -333,8 +369,11 @@ class SpeechT5Model(nn.Module):
         ``targets``: [B] int class ids; one-hot is built here for the margin
         softmax (reference speecht5.py:805-808).
         """
+        sid = self.cfg.sid
         enc = self.encode_speech(
-            wav, wav_lengths, mask=mask, deterministic=deterministic
+            wav, wav_lengths, mask=mask, deterministic=deterministic,
+            prepend_cls=sid.encoder_cls,
+            shuffle=sid.shuffle_encoder_input and not deterministic,
         )
         onehot = None
         if targets is not None and self.cfg.sid.softmax_type != "softmax":

@@ -223,3 +223,30 @@ def test_train_resume(corpus):
     assert os.path.isdir(save / "8")
     train_main(argv + ["--max-updates", "16"])
     assert os.path.isdir(save / "16")
+
+
+def test_apply_overrides():
+    """Generic dotted-path config overrides (the CLI's access to every config
+    field, replacing the reference's per-flag argparse surface)."""
+    from speecht5_tpu import config as C
+
+    cfg = C.speecht5_tiny()
+    out = C.apply_overrides(cfg, [
+        "sid.encoder_cls=True",
+        "se_predict=masking",          # bare-string convenience
+        "reduction_factor=1",
+        "encoder.layerdrop=0.25",
+    ])
+    assert out.sid.encoder_cls is True
+    assert out.se_predict == "masking"
+    assert out.reduction_factor == 1
+    assert out.encoder.layerdrop == 0.25
+    # untouched fields and the original config are preserved
+    assert out.decoder.layerdrop == cfg.decoder.layerdrop
+    assert cfg.sid.encoder_cls is False
+
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        C.apply_overrides(cfg, ["sid.not_a_field=1"])
+    with _pytest.raises(ValueError):
+        C.apply_overrides(cfg, ["malformed"])

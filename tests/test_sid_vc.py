@@ -223,3 +223,105 @@ class TestSIDVCDatasets:
             deterministic=True, method="forward_s2s",
         )
         assert not np.allclose(np.asarray(out_se[0]), np.asarray(out_ar[0]))
+
+
+class TestSIDVariants:
+    """Reference behaviors: sid_encoder_cls (speecht5.py:826-828,965-990),
+    sid_shuffle_encoder_input (:821-825), se_predict (:937-952)."""
+
+    def test_encoder_cls_pooling(self):
+        cfg = speecht5_tiny(sid=SIDConfig(
+            num_classes=N_CLASSES, embed_dim=16,
+            pooling="encoder-cls", encoder_cls=True,
+        ))
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        B, T = 2, 4000
+        wav = jnp.asarray(rng.standard_normal((B, T)), jnp.float32) * 0.1
+        lengths = jnp.asarray([T, T // 2])
+        logits, embed = model.apply(
+            variables, wav, lengths, deterministic=True, method="forward_s2c"
+        )
+        assert logits.shape == (B, N_CLASSES)
+        assert np.isfinite(np.asarray(logits)).all()
+        # the CLS slot is a constant query, but attends to the (different)
+        # frames of each sample -> per-sample logits must differ
+        assert not np.allclose(np.asarray(logits[0]), np.asarray(logits[1]))
+
+    def test_shuffle_encoder_input_train_only(self):
+        cfg = speecht5_tiny(sid=SIDConfig(
+            num_classes=N_CLASSES, embed_dim=16, pooling="encoder",
+            shuffle_encoder_input=True,
+        ))
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(2)
+        B, T = 2, 4000
+        wav = jnp.asarray(rng.standard_normal((B, T)), jnp.float32) * 0.1
+        lengths = jnp.full((B,), T, jnp.int32)
+        # deterministic (eval) path ignores the shuffle flag entirely
+        a, _ = model.apply(variables, wav, lengths, deterministic=True,
+                           method="forward_s2c")
+        cfg_off = speecht5_tiny(sid=SIDConfig(
+            num_classes=N_CLASSES, embed_dim=16, pooling="encoder",
+        ))
+        model_off, _ = init_model(cfg_off, jax.random.PRNGKey(0))
+        b, _ = model_off.apply(variables, wav, lengths, deterministic=True,
+                               method="forward_s2c")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # train path shuffles (needs the dropout rng) and stays finite
+        (c, _), _ = model.apply(
+            variables, wav, lengths, deterministic=False,
+            method="forward_s2c", rngs={"dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(np.asarray(c)).all()
+
+
+class TestSEPredict:
+    def _io(self, cfg, rng):
+        B, T, L = 2, 3200, 6
+        wav = jnp.asarray(rng.standard_normal((B, T)), jnp.float32) * 0.1
+        lengths = jnp.full((B,), T, jnp.int32)
+        src_mel = jnp.asarray(
+            rng.standard_normal((B, L, cfg.n_mels)), jnp.float32
+        )
+        tgt_lengths = jnp.full((B,), L, jnp.int32)
+        spk = jnp.zeros((B, cfg.spk_embed_dim), jnp.float32)
+        return wav, lengths, src_mel, tgt_lengths, spk
+
+    def test_masking_bounds_output_by_source(self):
+        cfg = speecht5_tiny(reduction_factor=1, se_predict="masking")
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        wav, lengths, src_mel, tgt_lengths, spk = self._io(cfg, rng)
+        before, after, *_ = model.apply(
+            variables, wav, lengths, src_mel, tgt_lengths, spk,
+            src_mel=src_mel, deterministic=True, method="forward_s2s",
+        )
+        src = np.asarray(src_mel)
+        for out in (np.asarray(before), np.asarray(after)):
+            # out = sigmoid(raw) * src: same sign as src, magnitude <= |src|
+            assert (np.abs(out) <= np.abs(src) + 1e-6).all()
+            assert (out * src >= -1e-6).all()
+
+    def test_delta_is_raw_minus_source(self):
+        rng = np.random.default_rng(4)
+        cfg_t = speecht5_tiny(reduction_factor=1, se_predict="target")
+        model_t, variables = init_model(cfg_t, jax.random.PRNGKey(0))
+        wav, lengths, src_mel, tgt_lengths, spk = self._io(cfg_t, rng)
+        raw_before, raw_after, *_ = model_t.apply(
+            variables, wav, lengths, src_mel, tgt_lengths, spk,
+            src_mel=src_mel, deterministic=True, method="forward_s2s",
+        )
+        cfg_d = speecht5_tiny(reduction_factor=1, se_predict="delta")
+        model_d, _ = init_model(cfg_d, jax.random.PRNGKey(0))
+        d_before, d_after, *_ = model_d.apply(
+            variables, wav, lengths, src_mel, tgt_lengths, spk,
+            src_mel=src_mel, deterministic=True, method="forward_s2s",
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_before), np.asarray(raw_before - src_mel), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_after), np.asarray(raw_after - src_mel), atol=1e-5
+        )
