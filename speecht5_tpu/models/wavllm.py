@@ -384,79 +384,99 @@ class WavLLMModel(nn.Module):
         x = self.norm(x)
         return self.output(x.astype(jnp.float32)), new_caches
 
+    def _pack_prefix(self, audio, audio_lens, prompt_tokens, left_tokens=None):
+        """Pack the SFT/decode prefix [left? | audio | prompt] (reference
+        llama.py:608-618: the left/system prompt precedes the speech, the task
+        instruction follows it).  Returns (seq, valid, first_idx) where
+        first_idx[b] is the slot whose logits predict the first target token
+        (the last REAL prompt token — prompts are right-padded)."""
+        cfg = self.cfg
+        segs, valids = [], []
+        Ll = 0
+        if left_tokens is not None:
+            segs.append(self.tok_embeddings(left_tokens).astype(audio.dtype))
+            valids.append(left_tokens != cfg.pad_id)
+            Ll = left_tokens.shape[1]
+        La = audio.shape[1]
+        segs.append(audio)
+        valids.append(length_mask(audio_lens, La))
+        p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
+        segs.append(p_emb)
+        valids.append(prompt_tokens != cfg.pad_id)
+        seq = jnp.concatenate(segs, axis=1)
+        valid = jnp.concatenate(valids, axis=1)
+        n_prompt = (prompt_tokens != cfg.pad_id).astype(jnp.int32).sum(1)
+        first_idx = Ll + La + jnp.maximum(n_prompt, 1) - 1     # [B]
+        return seq, valid, first_idx
+
+    def _moe_gate(self, audio, audio_lens):
+        if not self.cfg.lora_moe:
+            return None
+        La = audio.shape[1]
+        m = length_mask(audio_lens, La)[..., None]
+        pooled = (audio * m).sum(1) / jnp.maximum(
+            audio_lens, 1
+        )[:, None].astype(audio.dtype)
+        return jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
+
     def forward_sft(self, mel, mel_lengths, prompt_tokens, target_tokens,
-                    wav=None, wav_lengths=None, *, deterministic=True):
-        """Packed [prompt | audio | target] SFT forward
-        (reference speechllm_dataset.py:145-163 packing; loss is CE over the
-        target segment).  Returns (logits [B, Lt, V] predicting target_tokens,
-        gate or None)."""
+                    wav=None, wav_lengths=None, left_tokens=None, *,
+                    deterministic=True):
+        """Packed [left? | audio | prompt | target] SFT forward (reference
+        speechllm_dataset.py:145-163 segments, llama.py:608-618 order; loss is
+        CE over the target segment).  Returns (logits [B, Lt, V] predicting
+        target_tokens, gate or None)."""
         cfg = self.cfg
         audio, audio_lens = self.encode_audio(
             mel, mel_lengths, wav, wav_lengths, deterministic=deterministic
         )
-        B = audio.shape[0]
-        p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
+        prefix, prefix_valid, first_idx = self._pack_prefix(
+            audio, audio_lens, prompt_tokens, left_tokens
+        )
         t_emb = self.tok_embeddings(target_tokens).astype(audio.dtype)
-        seq = jnp.concatenate([p_emb, audio, t_emb], axis=1)
-        Lp, La, Lt = p_emb.shape[1], audio.shape[1], t_emb.shape[1]
-        valid = jnp.concatenate([
-            prompt_tokens != cfg.pad_id,
-            length_mask(audio_lens, La),
-            target_tokens != cfg.pad_id,
-        ], axis=1)
-        # RoPE positions count REAL tokens only, so the prompt->audio->target
-        # geometry is independent of batch padding (the reference packs
-        # segments per-sample without intra-sequence padding); causal masking
-        # uses the raw slot indices
+        L0, Lt = prefix.shape[1], t_emb.shape[1]
+        seq = jnp.concatenate([prefix, t_emb], axis=1)
+        valid = jnp.concatenate(
+            [prefix_valid, target_tokens != cfg.pad_id], axis=1
+        )
+        # RoPE positions count REAL tokens only, so the segment geometry is
+        # independent of batch padding (the reference packs segments
+        # per-sample without intra-sequence padding); causal masking uses the
+        # raw slot indices
         positions = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
         positions = jnp.maximum(positions, 0)
-        slots = jnp.broadcast_to(
-            jnp.arange(Lp + La + Lt)[None], seq.shape[:2]
-        )
-        gate = None
-        if cfg.lora_moe:
-            pooled = (audio * length_mask(audio_lens, La)[..., None]).sum(1) \
-                / jnp.maximum(audio_lens, 1)[:, None]
-            gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
+        slots = jnp.broadcast_to(jnp.arange(L0 + Lt)[None], seq.shape[:2])
+        gate = self._moe_gate(audio, audio_lens)
         logits, _ = self._llama(
             seq, positions, valid=valid, gate=gate,
             deterministic=deterministic, slots=slots,
         )
-        # logits at sequence index i predict token i+1.  Target token 0 must
-        # be predicted from the LAST REAL audio frame (padded audio frames
-        # between audio_lens and La are garbage queries), so gather its
-        # predictor index per sample; tokens 1.. are predicted from the real
-        # target embeddings at fixed indices.
-        first_idx = Lp + audio_lens - 1                       # [B]
+        # logits at sequence index i predict token i+1.  Target token 0 is
+        # predicted from the last REAL prompt token (padded prompt slots are
+        # garbage queries), gathered per sample; tokens 1.. are predicted
+        # from the real target embeddings at fixed indices.
         first = jnp.take_along_axis(
             logits, first_idx[:, None, None].astype(jnp.int32), axis=1
         )                                                     # [B, 1, V]
-        rest = logits[:, Lp + La : Lp + La + Lt - 1]
+        rest = logits[:, L0 : L0 + Lt - 1]
         return jnp.concatenate([first, rest], axis=1), gate
 
     # ------------------------------------------------------------ generate
 
-    def generate(self, mel, mel_lengths, prompt_tokens, *, max_new: int = 16,
-                 wav=None, wav_lengths=None):
-        """Greedy decode with KV cache: prefill [prompt | audio | bos], then
-        step (reference inference/generate.py contract)."""
+    def _prefill(self, mel, mel_lengths, prompt_tokens, left_tokens,
+                 wav, wav_lengths, max_new):
+        """Encode audio, pack [left? | audio | prompt], run the prefill pass
+        with max_new free cache slots.  Returns (first_logits [B, V], caches,
+        valid [B, L0+max_new], n_real [B], gate, L0)."""
         cfg = self.cfg
         audio, audio_lens = self.encode_audio(mel, mel_lengths, wav, wav_lengths)
         B = audio.shape[0]
-        p_emb = self.tok_embeddings(prompt_tokens).astype(audio.dtype)
-        seq = jnp.concatenate([p_emb, audio], axis=1)
-        Lp, La = p_emb.shape[1], audio.shape[1]
-        L0 = Lp + La
+        seq, prefix_valid, first_idx = self._pack_prefix(
+            audio, audio_lens, prompt_tokens, left_tokens
+        )
+        L0 = seq.shape[1]
         Lmax = L0 + max_new
-        gate = None
-        if cfg.lora_moe:
-            # length-masked mean, matching forward_sft (padded frames carry
-            # garbage encoder activations)
-            m = length_mask(audio_lens, La)[..., None]
-            pooled = (audio * m).sum(1) / jnp.maximum(
-                audio_lens, 1
-            )[:, None].astype(audio.dtype)
-            gate = jax.nn.softmax(self.moe_gate(pooled.astype(jnp.float32)), -1)
+        gate = self._moe_gate(audio, audio_lens)
 
         H, Dh = cfg.llama_heads, cfg.llama_dim // cfg.llama_heads
         caches = [
@@ -464,9 +484,6 @@ class WavLLMModel(nn.Module):
              "v": jnp.zeros((B, Lmax, H, Dh), cfg.compute_dtype)}
             for _ in self.layers
         ]
-        prefix_valid = jnp.concatenate([
-            prompt_tokens != cfg.pad_id, length_mask(audio_lens, La)
-        ], axis=1)
         valid = jnp.concatenate(
             [prefix_valid, jnp.zeros((B, max_new), bool)], axis=1
         )
@@ -479,19 +496,30 @@ class WavLLMModel(nn.Module):
             seq, positions, valid=valid, caches=caches, cache_index=0,
             gate=gate, slots=slots,
         )
-        # first token is predicted from the last REAL audio frame per sample
-        first_idx = Lp + audio_lens - 1
+        # first generated token is predicted from the last REAL prompt token
         first_logits = jnp.take_along_axis(
             logits, first_idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
+        n_real = prefix_valid.astype(jnp.int32).sum(1)        # [B]
+        return first_logits, caches, valid, n_real, gate, L0
+
+    def generate(self, mel, mel_lengths, prompt_tokens, *, max_new: int = 16,
+                 wav=None, wav_lengths=None, left_tokens=None):
+        """Greedy decode with KV cache: prefill [left? | audio | prompt], then
+        step (reference inference/generate.py contract)."""
+        first_logits, caches, valid, n_real, gate, L0 = self._prefill(
+            mel, mel_lengths, prompt_tokens, left_tokens, wav, wav_lengths,
+            max_new,
+        )
+        B = first_logits.shape[0]
+        dt = self.cfg.compute_dtype
         tok = jnp.argmax(first_logits, axis=-1)
         out = jnp.zeros((B, max_new), tok.dtype).at[:, 0].set(tok)
-        n_real = prefix_valid.astype(jnp.int32).sum(1)        # [B]
 
         def body(t, carry):
             tok, caches, valid, out = carry
             valid = valid.at[:, L0 + t].set(True)
-            emb = self.tok_embeddings(tok)[:, None].astype(audio.dtype)
+            emb = self.tok_embeddings(tok)[:, None].astype(dt)
             pos = (n_real + t)[:, None]
             slot = jnp.full((B, 1), L0 + t, jnp.int32)
             logits, caches = self._llama(
@@ -508,6 +536,101 @@ class WavLLMModel(nn.Module):
             0, max_new - 1, body, (tok, caches, valid, out)
         )
         return out
+
+    def generate_beam(self, mel, mel_lengths, prompt_tokens, *,
+                      beam_size: int = 4, max_new: int = 16,
+                      length_penalty: float = 1.0,
+                      wav=None, wav_lengths=None, left_tokens=None):
+        """Beam-search decode over the LLaMA decoder (reference
+        inference/sequence_generator.py drives WavLLM with a fairseq beam;
+        here the whole loop is one jittable program): prefill once at batch
+        B, expand to B*beam cached lanes, topk over beam*V each step with
+        EOS finalization and GNMT length normalization.
+
+        Returns (tokens [B, max_new] best hypothesis, scores [B] normalized).
+        """
+        cfg = self.cfg
+        K = beam_size
+        first_logits, caches, valid, n_real, gate, L0 = self._prefill(
+            mel, mel_lengths, prompt_tokens, left_tokens, wav, wav_lengths,
+            max_new,
+        )
+        B, V = first_logits.shape
+        dt = cfg.compute_dtype
+        NEG = jnp.float32(-1e9)
+
+        # seed: top-K first tokens per sample
+        lp0 = jax.nn.log_softmax(first_logits.astype(jnp.float32), axis=-1)
+        scores, tok = jax.lax.top_k(lp0, K)                   # [B, K]
+        out = jnp.zeros((B, K, max_new), jnp.int32)
+        out = out.at[:, :, 0].set(tok)
+        finished = tok == cfg.eos_id                          # [B, K]
+
+        def tile(x):
+            return jnp.repeat(x, K, axis=0)                   # [B*K, ...]
+
+        caches = [{"k": tile(c["k"]), "v": tile(c["v"])} for c in caches]
+        valid = tile(valid)
+        n_real_bk = tile(n_real)
+        gate_bk = None if gate is None else tile(gate)
+
+        def body(t, carry):
+            # step t consumes the token generated at step t-1 (cache slot
+            # L0+t-1, RoPE position n_real+t-1) and emits token t
+            scores, tok, out, finished, caches, valid = carry
+            valid = valid.at[:, L0 + t - 1].set(True)
+            emb = self.tok_embeddings(tok.reshape(B * K))[:, None].astype(dt)
+            pos = (n_real_bk + t - 1)[:, None]
+            slot = jnp.full((B * K, 1), L0 + t - 1, jnp.int32)
+            logits, new_caches = self._llama(
+                emb, pos, valid=valid, caches=caches, cache_index=L0 + t - 1,
+                gate=gate_bk, slots=slot,
+            )
+            lp = jax.nn.log_softmax(
+                logits[:, -1].astype(jnp.float32), axis=-1
+            ).reshape(B, K, V)
+            # finished lanes only extend with EOS at zero cost, so their
+            # cumulative score is frozen and they stay selectable
+            lp = jnp.where(
+                finished[:, :, None],
+                jnp.full((V,), NEG).at[cfg.eos_id].set(0.0)[None, None],
+                lp,
+            )
+            cand = scores[:, :, None] + lp                    # [B, K, V]
+            scores, flat = jax.lax.top_k(cand.reshape(B, K * V), K)
+            origin = flat // V                                # [B, K]
+            tok = flat % V
+            # reorder beam state by origin lane; this step emitted token t
+            out = jnp.take_along_axis(out, origin[:, :, None], axis=1)
+            out = out.at[:, :, t].set(tok)
+            finished = jnp.take_along_axis(finished, origin, axis=1)
+            finished = finished | (tok == cfg.eos_id)
+            flat_origin = (
+                jnp.arange(B)[:, None] * K + origin
+            ).reshape(B * K)
+            caches = [
+                {"k": c["k"][flat_origin], "v": c["v"][flat_origin]}
+                for c in new_caches
+            ]
+            valid = valid[flat_origin]
+            return scores, tok, out, finished, caches, valid
+
+        scores, tok, out, finished, _, _ = jax.lax.fori_loop(
+            1, max_new, body, (scores, tok, out, finished, caches, valid)
+        )
+        # GNMT normalization over generated length (EOS-terminated lanes use
+        # their true length; running lanes use max_new)
+        is_eos = out == cfg.eos_id
+        any_eos = is_eos.any(-1)
+        first_eos = jnp.argmax(is_eos, axis=-1)
+        length = jnp.where(any_eos, first_eos + 1, max_new)
+        norm = scores / (length.astype(jnp.float32) ** length_penalty)
+        best = jnp.argmax(norm, axis=1)                       # [B]
+        best_out = jnp.take_along_axis(
+            out, best[:, None, None], axis=1
+        )[:, 0]
+        best_score = jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0]
+        return best_out, best_score
 
 
 def lora_param_filter(path_tuple) -> bool:

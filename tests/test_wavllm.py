@@ -143,3 +143,71 @@ class TestWavLLMGenerate:
         assert toks.shape == (B, 6)
         np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
         assert ((0 <= np.asarray(toks)) & (np.asarray(toks) < cfg.vocab_size)).all()
+
+
+class TestWavLLMPacking:
+    def test_prompt_padding_invariance(self, wavllm, rng):
+        """Extra right-padding on the prompt must not change the target
+        logits: pad slots are masked from attention, RoPE positions count
+        real tokens only, and the first-target predictor tracks the last
+        REAL prompt token."""
+        cfg, m, v = wavllm
+        mel, ml, wav, wl, prompt, target = make_inputs(rng, cfg)
+        base, _ = m.apply(
+            v, mel, ml, prompt, target, wav, wl, method="forward_sft"
+        )
+        padded_prompt = jnp.concatenate(
+            [prompt, jnp.full((B, 2), cfg.pad_id, prompt.dtype)], axis=1
+        )
+        padded, _ = m.apply(
+            v, mel, ml, padded_prompt, target, wav, wl, method="forward_sft"
+        )
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(padded), atol=1e-4
+        )
+
+    def test_left_segment_changes_logits(self, wavllm, rng):
+        """[left | audio | prompt | target] (reference llama.py:608-618):
+        a system segment before the audio must influence the output."""
+        cfg, m, v = wavllm
+        mel, ml, wav, wl, prompt, target = make_inputs(rng, cfg)
+        base, _ = m.apply(
+            v, mel, ml, prompt, target, wav, wl, method="forward_sft"
+        )
+        left = jnp.asarray([[3, 4], [3, 4]])
+        with_left, _ = m.apply(
+            v, mel, ml, prompt, target, wav, wl, left,
+            method="forward_sft",
+        )
+        assert with_left.shape == base.shape
+        assert not np.allclose(np.asarray(with_left), np.asarray(base))
+
+
+class TestWavLLMBeam:
+    def test_beam1_matches_greedy(self, wavllm, rng):
+        cfg, m, v = wavllm
+        mel, ml, wav, wl, prompt, _ = make_inputs(rng, cfg)
+        greedy = np.asarray(m.apply(v, mel, ml, prompt, max_new=6,
+                                    method="generate"))
+        beam, score = m.apply(v, mel, ml, prompt, beam_size=1, max_new=6,
+                              method="generate_beam")
+        beam = np.asarray(beam)
+        # identical until greedy's first EOS (beam lanes freeze after EOS)
+        for b in range(greedy.shape[0]):
+            eos = np.where(greedy[b] == cfg.eos_id)[0]
+            upto = (eos[0] + 1) if len(eos) else greedy.shape[1]
+            np.testing.assert_array_equal(beam[b, :upto], greedy[b, :upto])
+        assert np.isfinite(np.asarray(score)).all()
+
+    def test_beam_search_runs_and_scores(self, wavllm, rng):
+        cfg, m, v = wavllm
+        mel, ml, wav, wl, prompt, _ = make_inputs(rng, cfg)
+        gen = jax.jit(lambda vv, *a: m.apply(
+            vv, *a, beam_size=4, max_new=6, method="generate_beam"
+        ))
+        toks, scores = gen(v, mel, ml, prompt)
+        toks2, scores2 = gen(v, mel, ml, prompt)
+        assert toks.shape == (B, 6)
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+        assert np.isfinite(np.asarray(scores)).all()
+        assert ((0 <= np.asarray(toks)) & (np.asarray(toks) < cfg.vocab_size)).all()
