@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32")
     p.add_argument("--results-path", default=None)
     p.add_argument("--vocab-size", type=int, default=None)
+    p.add_argument("--ensemble-last", type=int, default=0,
+                   help="decode with the last N checkpoints as a true "
+                        "ensemble (per-step probability averaging, s2t only)")
     p.add_argument("--avg-last", type=int, default=0,
                    help="average the last N checkpoints (reference ST recipes "
                         "average 10, SpeechT5/README.md:437-441)")
@@ -84,7 +87,21 @@ def main(argv=None):
 
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.ckpt)
-    if args.avg_last > 1:
+    ensemble = None
+    if args.ensemble_last > 1:
+        # true ensemble decode (reference EnsembleModel,
+        # sequence_generator.py:819-961) over the last N checkpoints —
+        # probability-space averaging per step, vs --avg-last's weight-space
+        # averaging into one model
+        steps = sorted(mgr.mngr.all_steps())[-args.ensemble_last:]
+        trees = [mgr.restore_model(variables, step=s)[0] for s in steps]
+        ensemble = [t for t in trees if t is not None]
+        if not ensemble:
+            raise SystemExit(f"no checkpoints found in {args.ckpt}")
+        variables = ensemble[-1]
+        step = steps[-1]
+        print(f"ensemble of {len(ensemble)} checkpoints {steps}", flush=True)
+    elif args.avg_last > 1:
         from ..utils.checkpoint import average_checkpoints
 
         steps = sorted(mgr.mngr.all_steps())[-args.avg_last:]
@@ -116,7 +133,8 @@ def main(argv=None):
         from ..decode.asr import ASRDecoder
 
         dec = ASRDecoder(
-            model, variables, beam_size=args.beam, max_len=args.max_len,
+            model, ensemble if ensemble else variables,
+            beam_size=args.beam, max_len=args.max_len,
             ctc_weight=args.ctc_weight,
         )
         refs, hyps = [], []

@@ -55,9 +55,18 @@ class ASRDecoder:
         """``encode_method``: model method producing {encoder_out, valid_mask
         [, ctc_logits]} — e.g. "encode_speech" (ASR/ST), "encode_text"
         (YiTrans MT), "encode_av" (VATLM); its positional args are whatever
-        __call__ receives."""
+        __call__ receives.
+
+        ``variables`` may be a single variables dict or a list/tuple of them
+        (an ensemble of same-architecture checkpoints): decoder log-probs are
+        averaged in probability space (logsumexp - log M) and CTC posteriors
+        come from the first model, matching the reference EnsembleModel
+        (reference sequence_generator.py:819-961, :273-277, :928-934)."""
         self.model = model
-        self.variables = variables
+        self.variables = (
+            tuple(variables) if isinstance(variables, (list, tuple))
+            else (variables,)
+        )
         self.cfg = model.cfg
         self.beam_size = beam_size
         self.max_len = max_len
@@ -95,21 +104,29 @@ class ASRDecoder:
         cannot prove that — keeping them in the state cost ~400MB of HBM
         traffic per step at base-ASR shapes."""
         cfg = self.cfg
-        cache = {
-            "index": state["cache"]["index"],
-            "layers": state["cache"]["layers"],
-            "cross": consts["cross"],
-        }
-        logits, cache = self.model.apply(
-            variables, toks_t, cache,
-            enc_valid=consts["enc_valid"], method="text_decode_step",
-        )
-        att = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        atts, new_caches = [], []
+        for i, v in enumerate(variables):
+            cache = {
+                "index": state["cache"][i]["index"],
+                "layers": state["cache"][i]["layers"],
+                "cross": consts["cross"][i],
+            }
+            logits, cache = self.model.apply(
+                v, toks_t, cache,
+                enc_valid=consts["enc_valid"], method="text_decode_step",
+            )
+            atts.append(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+            new_caches.append(
+                {"index": cache["index"], "layers": cache["layers"]}
+            )
+        if len(atts) == 1:
+            att = atts[0]
+        else:
+            # ensemble: mean of probabilities, in log space
+            # (reference sequence_generator.py:928-934)
+            att = jax.nn.logsumexp(jnp.stack(atts), axis=0) - jnp.log(len(atts))
         lprobs = att
-        state = dict(
-            state,
-            cache={"index": cache["index"], "layers": cache["layers"]},
-        )
+        state = dict(state, cache=tuple(new_caches))
 
         if self.ctc_weight > 0:
             w = self.ctc_weight
@@ -174,25 +191,37 @@ class ASRDecoder:
         N = B * K
 
         kw = {"with_ctc": True} if self.ctc_weight > 0 else {}
-        enc = self.model.apply(
-            variables, *enc_args, method=self.encode_method, **kw
-        )
-        # cross K/V and the encoder mask stay UNTILED [B, ...]: every beam in
-        # a group shares them, and MultiheadAttention's grouped cross path
-        # computes [B*K] queries against [B] keys (5x less K/V traffic per
-        # step than tiling to N rows)
-        cache = self.model.apply(
-            variables, enc, N, self.max_len + 1,
-            method="init_text_cache",
-        )
+        # per-model encoder forwards + decoder caches (statically unrolled
+        # over the — typically 1, at most a handful — ensemble members; each
+        # member's KV cache is a separate beam-state entry so the per-step
+        # beam reorder gathers it like any other row-tiled tensor)
+        encs, crosses, model_caches = [], [], []
+        for v in variables:
+            enc_i = self.model.apply(
+                v, *enc_args, method=self.encode_method, **kw
+            )
+            # cross K/V and the encoder mask stay UNTILED [B, ...]: every
+            # beam in a group shares them, and MultiheadAttention's grouped
+            # cross path computes [B*K] queries against [B] keys (5x less
+            # K/V traffic per step than tiling to N rows)
+            cache = self.model.apply(
+                v, enc_i, N, self.max_len + 1, method="init_text_cache",
+            )
+            encs.append(enc_i)
+            crosses.append(cache["cross"])
+            model_caches.append(
+                {"index": cache["index"], "layers": cache["layers"]}
+            )
+        enc = encs[0]  # CTC posteriors and masks come from the first model
+        #                (reference sequence_generator.py:273-277)
         # loop-invariant tensors go into ``consts`` (closure), NOT the beam
         # state — see _step for why
         consts = {
-            "cross": cache["cross"],
+            "cross": tuple(crosses),
             "enc_valid": enc["valid_mask"],
         }
         state = {
-            "cache": {"index": cache["index"], "layers": cache["layers"]},
+            "cache": tuple(model_caches),
         }
         if self.ctc_weight > 0:
             ctc_lp = jax.nn.log_softmax(

@@ -140,3 +140,47 @@ class TestGroupedCrossAttention:
         np.testing.assert_allclose(
             np.asarray(w_g), np.asarray(w_t), atol=1e-6
         )
+
+
+class TestEnsembleDecode:
+    """Ensemble beam decode (reference sequence_generator.py EnsembleModel
+    :819-961): decoder log-probs averaged in probability space, CTC
+    posteriors from the first model."""
+
+    def _make(self, seed):
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.speecht5 import init_model
+
+        cfg = speecht5_tiny()
+        return cfg, *init_model(cfg, jax.random.PRNGKey(seed))
+
+    def test_duplicate_ensemble_equals_single(self):
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg, model, v = self._make(0)
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 2500])
+        single = ASRDecoder(model, v, beam_size=3, max_len=8, ctc_weight=0.3)
+        double = ASRDecoder(model, [v, v], beam_size=3, max_len=8,
+                            ctc_weight=0.3)
+        a = single(wav, lengths)
+        b = double(wav, lengths)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        np.testing.assert_allclose(
+            np.asarray(a.scores), np.asarray(b.scores), atol=1e-4
+        )
+
+    def test_two_model_ensemble_runs(self):
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg, model, v1 = self._make(0)
+        _, _, v2 = self._make(1)
+        rng = np.random.default_rng(1)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 4000])
+        dec = ASRDecoder(model, [v1, v2], beam_size=3, max_len=8,
+                         ctc_weight=0.3)
+        res = dec(wav, lengths)
+        assert np.isfinite(np.asarray(res.scores)).all()
+        assert (np.asarray(res.lengths) >= 1).all()
