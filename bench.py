@@ -50,7 +50,9 @@ def main():
     from speecht5_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
 
     # ---------------------------------------------------------------- ASR
-    BATCH = 8
+    # Batch sweep on v5e-lite (10s utts, beam 5): 8 -> 958x, 16 -> 1141x,
+    # 32 -> 1289x, 64 -> 1258x realtime; 32 is the per-chip throughput knee.
+    BATCH = 32
     AUDIO_SECONDS = 10.0
     SR = 16000
     T = int(AUDIO_SECONDS * SR)
