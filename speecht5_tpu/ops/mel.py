@@ -32,7 +32,11 @@ def _hz_to_mel(f):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    # maximum() keeps the unused log branch finite at f=0 (fmin=0 is the
+    # Whisper filterbank's lower edge)
+    log_branch = min_log_mel + np.log(
+        np.maximum(f, 1e-10) / min_log_hz) / logstep
+    return np.where(f >= min_log_hz, log_branch, mel)
 
 
 def _mel_to_hz(m):
