@@ -515,7 +515,16 @@ class TextPretrainDataset:
 @dataclass
 class SpeechPretrainDataset:
     """HuBERT-style pretraining: waveform + frame-level km labels + fbank
-    decoder target (reference data/speech_dataset.py:186-476)."""
+    decoder target (reference data/speech_dataset.py:186-476).
+
+    With ``add_decoder_target`` the collated batch also carries Speech2C's
+    token decoder targets (reference Speech2C/speech2c/data/
+    speech2c_dataset.py:65-110): the cropped km labels collapsed by
+    unique-consecutive (pretraining) or kept frame-level (``fine_tuning``),
+    with EOS appended, plus the EOS-shifted ``prev_tokens``. km label ids
+    are offset by ``unit_offset`` into the token vocabulary (the reference
+    encodes units through a fairseq Dictionary whose specials occupy the
+    first 4 ids)."""
 
     manifest: str
     km_labels: str               # frame labels, one utt per line (space-sep ints)
@@ -525,6 +534,11 @@ class SpeechPretrainDataset:
     n_mels: int = 80
     reduction_factor: int = 2
     normalize: bool = False
+    add_decoder_target: bool = False
+    fine_tuning: bool = False
+    pad_id: int = 1
+    eos_id: int = 2
+    unit_offset: int = 4
 
     def __post_init__(self):
         self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
@@ -583,7 +597,31 @@ class SpeechPretrainDataset:
             dec_lengths[b] = len(m)
             thin = m[r - 1 :: r]
             prev_mel[b, 1 : len(thin)] = thin[:-1]
-        return {"wav": wav, "wav_lengths": wav_lengths, "km_labels": km,
-                "target_mel": target_mel, "dec_lengths": dec_lengths,
-                "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
-                "ids": np.asarray([it["id"] for it in items])}
+        batch = {"wav": wav, "wav_lengths": wav_lengths, "km_labels": km,
+                 "target_mel": target_mel, "dec_lengths": dec_lengths,
+                 "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
+                 "ids": np.asarray([it["id"] for it in items])}
+        if self.add_decoder_target:
+            seqs = []
+            for b, it in enumerate(items):
+                lab = it["labels"][: int(km[b].shape[0])]
+                if not self.fine_tuning and len(lab):
+                    # unique_consecutive (speech2c_dataset.py:97)
+                    lab = lab[np.concatenate(([True], lab[1:] != lab[:-1]))]
+                seqs.append(
+                    np.concatenate([lab + self.unit_offset, [self.eos_id]]))
+            L = max(len(s) for s in seqs)
+            if bucketed:
+                L = bucket_length(L, TOKEN_BUCKETS)
+            dec_tgt = np.full((B, L), self.pad_id, np.int64)
+            prev = np.full((B, L), self.pad_id, np.int64)
+            prev[:, 0] = self.eos_id  # EOS-shifted decoder input
+            for b, s in enumerate(seqs):
+                n = min(len(s), L)
+                dec_tgt[b, :n] = s[:n]
+                prev[b, 1:n] = s[: n - 1]
+            batch["decoder_targets"] = dec_tgt
+            batch["prev_tokens"] = prev
+            batch["decoder_target_lengths"] = np.asarray(
+                [min(len(s), L) for s in seqs], np.int32)
+        return batch

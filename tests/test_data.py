@@ -206,3 +206,42 @@ class TestBleu:
         from speecht5_tpu.utils.metrics import corpus_bleu
 
         assert corpus_bleu(["a b c"], [""]) == 0.0
+
+
+class TestSpeech2CDecoderTargets:
+    """Speech2C token decoder targets on the pretrain dataset (reference
+    Speech2C/speech2c/data/speech2c_dataset.py:65-110)."""
+
+    @pytest.fixture
+    def pretrain_ds(self, workdir, tmp_path):
+        wdir, man, _labels, _d = workdir
+        from speecht5_tpu.data.manifests import SpeechPretrainDataset
+
+        km = wdir / "train.km"
+        # frame labels with runs so unique_consecutive collapses them
+        km.write_text("\n".join(["5 5 5 7 7 9"] * 4) + "\n")
+        return SpeechPretrainDataset(
+            manifest=str(man), km_labels=str(km),
+            add_decoder_target=True, pad_id=1, eos_id=2, unit_offset=4)
+
+    def test_unique_consecutive_plus_eos(self, pretrain_ds):
+        items = [pretrain_ds[0], pretrain_ds[1]]
+        batch = pretrain_ds.collate(items, frame_fn=lambda n: 6,
+                                    bucketed=False)
+        # 5 5 5 7 7 9 -> 5 7 9 (+offset 4) + EOS
+        assert batch["decoder_targets"][0].tolist()[:4] == [9, 11, 13, 2]
+        # prev_tokens: EOS-shifted
+        assert batch["prev_tokens"][0].tolist()[:4] == [2, 9, 11, 13]
+        assert batch["decoder_target_lengths"][0] == 4
+
+    def test_fine_tuning_keeps_frame_labels(self, workdir):
+        wdir, man, _labels, _d = workdir
+        from speecht5_tpu.data.manifests import SpeechPretrainDataset
+
+        km = wdir / "ft.km"
+        km.write_text("\n".join(["5 5 7"] * 4) + "\n")
+        ds = SpeechPretrainDataset(
+            manifest=str(man), km_labels=str(km), add_decoder_target=True,
+            fine_tuning=True, pad_id=1, eos_id=2, unit_offset=4)
+        batch = ds.collate([ds[0]], frame_fn=lambda n: 3, bucketed=False)
+        assert batch["decoder_targets"][0].tolist() == [9, 9, 11, 2]
