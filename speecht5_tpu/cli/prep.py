@@ -80,6 +80,14 @@ def main(argv=None):
     fp.add_argument("--tgt", "-t", required=True)
     fp.add_argument("--max-len", "-m", type=int, default=2998)
 
+    st = sub.add_parser("st-manifest")
+    st.add_argument("--tsv", required=True,
+                    help="columned ST tsv (id/audio/n_frames/tgt_text)")
+    st.add_argument("--out-manifest", required=True)
+    st.add_argument("--out-labels", required=True)
+    st.add_argument("--audio-root", default=None,
+                    help="remap audio paths to <audio-root>/<basename>")
+
     t = sub.add_parser("t2u-manifest")
     t.add_argument("--audio-manifest", default=None,
                    help="<split>.audio.tsv; omit for text-only rows")
@@ -167,6 +175,14 @@ def main(argv=None):
             with open(f"{args.output}.{suffix}", "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + ("\n" if lines else ""))
         print(f"kept {len(src_f)}/{len(src)} pairs")
+
+    elif args.cmd == "st-manifest":
+        manifest, labels = prep.convert_st_tsv(args.tsv, args.audio_root)
+        with open(args.out_manifest, "w", encoding="utf-8") as f:
+            f.write("\n".join(manifest) + "\n")
+        with open(args.out_labels, "w", encoding="utf-8") as f:
+            f.write("\n".join(labels) + "\n")
+        print(f"wrote {len(labels)} utterances")
 
     elif args.cmd == "t2u-manifest":
         if args.audio_manifest:

@@ -349,3 +349,43 @@ def write_tsv(rows: Sequence[Dict[str, str]], path: str,
         f.write("\t".join(cols) + "\n")
         for row in rows:
             f.write("\t".join(row[c] for c in cols) + "\n")
+
+
+# --------------------------------------------------------------------------
+# columned ST TSVs (fairseq speech_to_text format)
+# --------------------------------------------------------------------------
+
+def read_columned_tsv(path: str) -> List[Dict[str, str]]:
+    """Header-row TSV -> row dicts (the fairseq speech_to_text manifest
+    format: ``id  audio  n_frames  tgt_text``, e.g. the shipped CoVoST2
+    fixture SpeechLM/dataset/CommonVoice/v4/en/en-de/
+    dev-sample100_st_en_de_local.tsv)."""
+    with open(path, encoding="utf-8") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        return [dict(zip(header, line.rstrip("\n").split("\t")))
+                for line in f if line.strip()]
+
+
+def convert_st_tsv(
+    tsv_path: str,
+    audio_root: Optional[str] = None,
+) -> Tuple[List[str], List[str]]:
+    """Columned ST TSV -> (audio manifest lines, target label lines) in the
+    formats our SpeechToTextDataset consumes. ``audio_root`` remaps the
+    TSV's (possibly machine-specific) absolute audio paths to
+    ``audio_root/<basename>``; otherwise the common dirname is the root.
+    n_frames comes from the TSV — no audio is opened."""
+    rows = read_columned_tsv(tsv_path)
+    if not rows:
+        raise ValueError(f"empty ST tsv: {tsv_path}")
+    if audio_root:
+        root = os.path.abspath(audio_root)
+        rels = [os.path.basename(r["audio"]) for r in rows]
+    else:
+        root = os.path.commonpath([os.path.dirname(r["audio"]) for r in rows])
+        rels = [os.path.relpath(r["audio"], root) for r in rows]
+    manifest = [root] + [
+        f"{rel}\t{int(row['n_frames'])}" for rel, row in zip(rels, rows)
+    ]
+    labels = [row["tgt_text"] for row in rows]
+    return manifest, labels

@@ -183,3 +183,49 @@ class TestPrepCLI:
                      "--sil-prob", "0"]) == 0
         got = (tmp_path / "out.kaldi_phn_sil025").read_text().strip()
         assert got == "SIL K AE T SIL"
+
+
+COVOST_TSV = ("/root/reference/SpeechLM/dataset/CommonVoice/v4/en/en-de/"
+              "dev-sample100_st_en_de_local.tsv")
+
+
+@pytest.mark.skipif(not os.path.exists(COVOST_TSV), reason="no fixture")
+class TestSTManifest:
+    """CoVoST2 columned ST TSV -> our manifest + labels (the shipped
+    reference fixture works as-is)."""
+
+    def test_convert_reference_fixture(self, tmp_path):
+        manifest, labels = prep.convert_st_tsv(COVOST_TSV,
+                                               audio_root=str(tmp_path))
+        n_rows = sum(1 for _ in open(COVOST_TSV)) - 1
+        assert len(labels) == len(manifest) - 1 == n_rows
+        # German targets survive unicode round trip
+        assert labels[0] == ("Wenn Wasser knapp ist, verschwenden Sie es "
+                             "nicht.")
+        out = tmp_path / "m.tsv"
+        out.write_text("\n".join(manifest) + "\n")
+        root, names, sizes = load_audio_manifest(str(out))
+        assert root == str(tmp_path)
+        assert names[0] == "common_voice_en_18540003.wav"
+        assert sizes[0] == 90624
+
+    def test_spm_char_model_encodes_targets(self):
+        from speecht5_tpu.data.sentencepiece import SentencePieceModel
+        spm_path = os.path.join(os.path.dirname(COVOST_TSV),
+                                "spm_char_st_en_de.model")
+        if not os.path.exists(spm_path):
+            pytest.skip("no spm fixture")
+        sp = SentencePieceModel.load(spm_path)
+        _manifest, labels = prep.convert_st_tsv(COVOST_TSV)
+        pieces = sp.encode(labels[0], out="piece")
+        assert len(pieces) > 10  # char model: ~one piece per character
+
+    def test_cli_subcommand(self, tmp_path):
+        from speecht5_tpu.cli.prep import main
+        m, l = tmp_path / "m.tsv", tmp_path / "l.de"
+        assert main(["st-manifest", "--tsv", COVOST_TSV,
+                     "--out-manifest", str(m), "--out-labels", str(l),
+                     "--audio-root", "/data/wav"]) == 0
+        n_rows = sum(1 for _ in open(COVOST_TSV)) - 1
+        assert len(l.read_text().splitlines()) == n_rows
+        assert m.read_text().splitlines()[0] == "/data/wav"
