@@ -65,9 +65,22 @@ def main():
     x = jnp.zeros((8,))
     jax.block_until_ready(x)
     ph("first device op done (backend session up)")
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(variables)
-    ph("init_model done")
+    # init on the host CPU backend, then one bulk transfer: the remote axon
+    # backend executes the big init program 5-13x slower than the host
+    # (measured 181-502s remote vs ~37s host for the same init)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            model, variables = init_model(cfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(variables)
+        ph("init_model done on host cpu")
+        variables = jax.device_put(variables, jax.devices()[0])
+        jax.block_until_ready(variables)
+        ph("params transferred to device")
+    except RuntimeError:  # no cpu backend: init directly on the device
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(variables)
+        ph("init_model done")
 
     decoder = ASRDecoder(
         model, variables, beam_size=BEAM, max_len=MAX_LEN,

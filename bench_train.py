@@ -41,7 +41,17 @@ def main():
     from speecht5_tpu.train.trainer import Trainer, TrainConfig
 
     cfg = speecht5_base(dtype="bfloat16")
-    model, variables = init_model(cfg, jax.random.PRNGKey(0))
+    # host-CPU init + bulk transfer: the remote axon backend runs the init
+    # program 5-13x slower than the host (see bench.py)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            model, variables = init_model(cfg, jax.random.PRNGKey(0))
+            jax.block_until_ready(variables)
+        variables = jax.device_put(variables, jax.devices()[0])
+        jax.block_until_ready(variables)
+    except RuntimeError:
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
     note("base model initialized")
 
     tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
