@@ -7,9 +7,20 @@ cache — as multiples of realtime audio per chip.  BASELINE.json north star:
 hops through espnet CTCPrefixScore, reference sequence_generator.py:346-654;
 here the whole batch decodes in one device program).
 
-Secondary: TTS autoregressive mel decode RTF (reference generate_speech loop,
-models/speecht5.py:1222-1245, is O(T^2) batch=1; here a lax.while_loop with a
-causal per-frame prenet).
+Decode geometry is the HONEST char-level one: vocab 81 (the SpeechT5 char SPM;
+HF microsoft/speecht5_asr vocab is 81) and hypotheses forced to >= 130 tokens
+for 10 s utterances (~150 words/min ~= 140 chars/10 s; the reference decodes
+with --max-len-a 0 --max-len-b 620 as the CAP, reference
+SpeechT5/README.md:243-244).  Random weights would emit EOS immediately, so
+min_len pins the AR loop to realistic trip counts.
+
+Secondary: TTS autoregressive mel decode RTF incl. in-graph HiFi-GAN —
+batch-4 throughput RTF and batch-1 latency RTF (the number a serving stack
+cares about; the reference loop is batch=1 O(T^2),
+reference models/speecht5.py:1222-1245).
+
+Also reports measured MFU (analytical FLOPs / time / chip bf16 peak, see
+speecht5_tpu/utils/flops.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Phase timestamps go to stderr so a timeout is diagnosable from the artifact.
@@ -48,20 +59,29 @@ def main():
     from speecht5_tpu.decode.asr import ASRDecoder
     from speecht5_tpu.decode.tts import TTSDecoder
     from speecht5_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from speecht5_tpu.utils import flops as F
+
+    def cache_entries():
+        try:
+            return len(os.listdir(cache_dir))
+        except OSError:
+            return 0
 
     # ---------------------------------------------------------------- ASR
-    # Batch sweep on v5e-lite (10s utts, beam 5): 8 -> 958x, 16 -> 1141x,
-    # 32 -> 1289x, 64 -> 1258x realtime; 32 is the per-chip throughput knee.
-    BATCH = 32
+    # Batch sweep on v5e-lite (10 s utts, beam 5, char-level geometry below):
+    # see README benchmark table; BATCH is the measured per-chip knee.
+    BATCH = int(os.environ.get("BENCH_BATCH", "32"))
     AUDIO_SECONDS = 10.0
     SR = 16000
     T = int(AUDIO_SECONDS * SR)
     BEAM = 5
-    MAX_LEN = 40
-    MIN_LEN = 30   # random weights would stop instantly; force a realistic
-                   # hypothesis length (~3 tokens/sec speech) for honest timing
+    # char-level hypothesis geometry: ~14 chars/s of speech -> ~130-170
+    # tokens for 10 s.  min_len forces realistic trip counts on random
+    # weights; max_len bounds the static loop.
+    MAX_LEN = 170
+    MIN_LEN = 130
 
-    cfg = speecht5_base_asr(dtype="bfloat16", vocab_size=896)
+    cfg = speecht5_base_asr(dtype="bfloat16")   # vocab_size=81 (char SPM)
     x = jnp.zeros((8,))
     jax.block_until_ready(x)
     ph("first device op done (backend session up)")
@@ -97,9 +117,14 @@ def main():
     ]
     lengths = jnp.full((BATCH,), T, jnp.int32)
 
+    n_cache0 = cache_entries()
+    t_c = time.perf_counter()
     res = decoder(wavs[0], lengths)
     float(jnp.sum(res.scores))
-    ph("ASR beam decode compiled")
+    compile_s = time.perf_counter() - t_c
+    cache_hit = cache_entries() == n_cache0
+    ph(f"ASR beam decode compiled in {compile_s:.1f}s "
+       f"(persistent cache {'HIT' if cache_hit else 'MISS'})")
 
     iters = 3
     ts = []
@@ -110,14 +135,18 @@ def main():
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[len(ts) // 2]
     realtime_x = BATCH * AUDIO_SECONDS / dt
-    ph(f"ASR steady {dt*1000:.1f}ms/batch (median of {iters}) "
-       f"-> {realtime_x:.0f}x realtime")
+    # hypothesis lengths actually decoded -> AR trip count for the FLOP model
+    hyp_lens = np.asarray(res.lengths)[:, 0]
+    steps = int(hyp_lens.max())
+    decode_flops = F.asr_decode_flops(cfg, BATCH, BEAM, T, steps)
+    decode_mfu = F.mfu(decode_flops, dt)
+    ph(f"ASR steady {dt*1000:.1f}ms/batch (median of {iters}), "
+       f"hyp len mean {hyp_lens.mean():.0f} max {steps} "
+       f"-> {realtime_x:.0f}x realtime, MFU {decode_mfu*100:.1f}%")
 
     # ---------------------------------------------------------------- TTS
-    tts_rtf = None
+    extras = {}
     try:
-        TTS_BATCH, TOK = 4, 64
-        MAX_FRAMES = 512
         # full-size HiFi-GAN v1 in the decode program: the RTF target includes
         # the vocoder (BASELINE.md; reference defers it to external torch)
         voc = HiFiGANGenerator(HiFiGANConfig())
@@ -125,29 +154,39 @@ def main():
             lambda: voc.init(jax.random.PRNGKey(2),
                              jnp.zeros((1, 8, cfg.n_mels)))
         )()
-        tts = TTSDecoder(
-            model, variables, max_frames=MAX_FRAMES,
-            min_len_ratio=3.9, max_len_ratio=4.0,  # force ~256 steps on random
-            vocoder=voc, vocoder_variables=voc_vars,
-        )
-        tokens = jnp.full((TTS_BATCH, TOK), 5, jnp.int32)
-        spk = jnp.zeros((TTS_BATCH, cfg.spk_embed_dim), jnp.float32)
-        out = tts.text_to_speech(tokens, spk)
-        float(jnp.sum(out.lengths))
-        ph("TTS AR decode + vocoder compiled")
-        ts = []
-        for i in range(3):  # fresh input each time (backend memoizes results)
-            tokens_i = jnp.full((TTS_BATCH, TOK), 7 + i, jnp.int32)
-            t0 = time.perf_counter()
-            out = tts.text_to_speech(tokens_i, spk)
+        spk1 = jnp.zeros((1, cfg.spk_embed_dim), jnp.float32)
+        for tts_batch, key in ((4, "tts_rtf_incl_vocoder"),
+                               (1, "tts_rtf_batch1_latency")):
+            TOK = 64
+            MAX_FRAMES = 512
+            tts = TTSDecoder(
+                model, variables, max_frames=MAX_FRAMES,
+                min_len_ratio=3.9, max_len_ratio=4.0,  # ~256 steps on random
+                vocoder=voc, vocoder_variables=voc_vars,
+            )
+            tokens = jnp.full((tts_batch, TOK), 5, jnp.int32)
+            spk = jnp.zeros((tts_batch, cfg.spk_embed_dim), jnp.float32)
+            out = tts.text_to_speech(tokens, spk)
             float(jnp.sum(out.lengths))
-            ts.append(time.perf_counter() - t0)
-        tts_dt = sorted(ts)[1]
-        frames = int(np.asarray(out.lengths).min())
-        audio_s = frames * 256 / SR  # hop 256 @ 16k
-        tts_rtf = tts_dt / max(TTS_BATCH * audio_s, 1e-6)
-        ph(f"TTS steady {tts_dt*1000:.1f}ms for {frames} frames/utt "
-           f"-> RTF {tts_rtf:.4f} incl. HiFi-GAN (batch {TTS_BATCH})")
+            ph(f"TTS AR decode + vocoder compiled (batch {tts_batch})")
+            ts = []
+            for i in range(3):  # fresh input each time (memoizing backend)
+                tokens_i = jnp.full((tts_batch, TOK), 7 + i, jnp.int32)
+                t0 = time.perf_counter()
+                out = tts.text_to_speech(tokens_i, spk)
+                float(jnp.sum(out.lengths))
+                ts.append(time.perf_counter() - t0)
+            tts_dt = sorted(ts)[1]
+            frames = int(np.asarray(out.lengths).min())
+            audio_s = frames * 256 / SR  # hop 256 @ 16k
+            rtf = tts_dt / max(tts_batch * audio_s, 1e-6)
+            extras[key] = round(rtf, 4)
+            ph(f"TTS steady {tts_dt*1000:.1f}ms for {frames} frames/utt "
+               f"-> RTF {rtf:.4f} incl. HiFi-GAN (batch {tts_batch})")
+        if "tts_rtf_incl_vocoder" in extras:
+            extras["tts_rtf_vs_baseline"] = round(
+                0.05 / extras["tts_rtf_incl_vocoder"], 2
+            )
     except Exception as e:  # TTS is secondary; never lose the ASR number
         ph(f"TTS bench failed: {e!r}")
 
@@ -156,10 +195,14 @@ def main():
         "value": round(realtime_x, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(realtime_x / 50.0, 3),
+        "decode_mfu": round(decode_mfu, 4),
+        "hyp_len_mean": round(float(hyp_lens.mean()), 1),
+        "vocab_size": cfg.vocab_size,
+        "batch": BATCH,
+        "compile_s": round(compile_s, 1),
+        "compile_cache_hit": cache_hit,
     }
-    if tts_rtf is not None:
-        out["tts_rtf_incl_vocoder"] = round(tts_rtf, 4)
-        out["tts_rtf_vs_baseline"] = round(0.05 / tts_rtf, 2)
+    out.update(extras)
     print(json.dumps(out))
 
 

@@ -87,10 +87,19 @@ def main():
 
     assert np.isfinite(loss_last)
     steps_per_s = STEPS / dt
+    from speecht5_tpu.utils import flops as F
+
+    step_flops = F.s2t_train_flops(cfg, B, SECS * 16000, L_TGT)
+    train_mfu = F.mfu(step_flops * STEPS, dt)
+    note(f"analytical {step_flops/1e12:.2f} TFLOP/step "
+         f"-> {step_flops*steps_per_s/1e12:.1f} TFLOP/s, "
+         f"MFU {train_mfu*100:.1f}% of bf16 peak")
     print(json.dumps({
         "metric": "speecht5_base_asr_finetune_train_step",
         "steps_per_s": round(steps_per_s, 3),
         "audio_s_per_s": round(steps_per_s * B * SECS, 1),
+        "train_mfu": round(train_mfu, 4),
+        "tflops_per_step": round(step_flops / 1e12, 2),
         "batch": B,
         "utt_secs": SECS,
         "loss_first": round(loss0, 4),

@@ -88,6 +88,13 @@ def main(argv=None):
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     mgr = CheckpointManager(args.ckpt)
     ensemble = None
+    if args.ensemble_last > 1 and args.task != "s2t":
+        # ensemble decode is only wired into the s2t beam search; silently
+        # decoding other tasks with just the last checkpoint would misreport
+        raise SystemExit(
+            "--ensemble-last is only supported for --task s2t "
+            "(use --avg-last for weight-space averaging instead)"
+        )
     if args.ensemble_last > 1:
         # true ensemble decode (reference EnsembleModel,
         # sequence_generator.py:819-961) over the last N checkpoints —

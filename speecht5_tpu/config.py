@@ -293,6 +293,21 @@ class SpeechT5Config:
     dtype: str = "float32"  # activation/compute dtype ("bfloat16" on TPU)
     param_dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.spk_embed_integration not in ("pre", "add", "concat"):
+            raise ValueError(
+                f"spk_embed_integration={self.spk_embed_integration!r} not in "
+                "('pre', 'add', 'concat')"
+            )
+        if self.se_predict not in (None, "masking", "target", "delta"):
+            raise ValueError(
+                f"se_predict={self.se_predict!r} not in "
+                "(None, 'masking', 'target', 'delta')"
+            )
+        # NOTE: se_predict additionally requires reduction_factor == 1; that
+        # cross-field constraint is checked at forward time (forward_s2s) so
+        # that apply_overrides can set the two fields in either order.
+
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32

@@ -240,9 +240,16 @@ def repeat_phones(
     while len(out) >= max_len:
         minus += 1
         out = []
+        at_floor = True
         for phn in phones:
             m, _s = mean_std.get(phn, default)
-            out.extend([phn] * max(1, round(m - minus)))
+            n = max(1, round(m - minus))
+            at_floor &= n <= 1
+            out.extend([phn] * n)
+        if at_floor:
+            # Every phone is already at 1 repeat; further reduction cannot
+            # shrink the sequence (reference script would loop forever here).
+            return out[: max_len - 1]
     return out
 
 

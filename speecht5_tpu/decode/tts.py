@@ -95,8 +95,12 @@ class TTSDecoder:
             enc_len.astype(jnp.float32) * self.min_len_ratio / r
         ).astype(jnp.int32)
 
+        # init_speech_cache applies model-level spk-emb integration
+        # ('add'/'concat') to the encoder output before the cross-KV
+        # precompute (reference speecht5.py:1203-1207)
         cache = self.model.apply(
-            variables, enc, B, S + 1, method="init_speech_cache"
+            variables, enc, B, S + 1, spkembs=spkembs,
+            method="init_speech_cache"
         )
 
         mel_buf = jnp.zeros((B, S * r, n_mels), jnp.float32)

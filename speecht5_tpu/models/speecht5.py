@@ -94,6 +94,15 @@ class SpeechT5Model(nn.Module):
                 normalize_postnet=s.normalize_postnet,
                 dtype=dt, param_dtype=pt,
             )
+        if cfg.spk_embed_dim is not None and cfg.spk_embed_integration != "pre":
+            # model-level x-vector integration into the ENCODER output
+            # (reference speecht5.py:84-90, _integrate_with_spk_embed
+            # :1001-1020); 'pre' instead concats inside the speech decoder
+            # prenet (prenets.py)
+            self.spkembs_projection = nn.Dense(
+                cfg.d_model, dtype=cfg.compute_dtype, param_dtype=jnp.float32,
+                name="spkembs_projection",
+            )
         if cfg.quantizer.enabled:
             vq_dim = cfg.quantizer.latent_dim or cfg.d_model
             self.quantizer = GumbelVectorQuantizer(
@@ -135,9 +144,16 @@ class SpeechT5Model(nn.Module):
         )
         if shuffle:
             # SID train-time augmentation: one time permutation shared across
-            # the batch (reference speecht5.py:821-825)
+            # the batch (reference speecht5.py:821-825).  The raw permutation
+            # scatters right-padding into the interior; the fused attention
+            # kernels (use_pallas_attn*) assume a contiguous prefix mask, so
+            # stably compact valid frames to the front — frame order stays
+            # randomly permuted, padding returns to the right edge.
             perm = jax.random.permutation(self.make_rng("dropout"), x.shape[1])
             x, valid = x[:, perm], valid[:, perm]
+            order = jnp.argsort(~valid, axis=1, stable=True)  # valid first
+            x = jnp.take_along_axis(x, order[:, :, None], axis=1)
+            valid = jnp.take_along_axis(valid, order, axis=1)
         if prepend_cls:
             # [CLS] = zero token through the text decoder prenet, prepended
             # with a cleared mask slot (reference speecht5.py:826-828,
@@ -207,6 +223,7 @@ class SpeechT5Model(nn.Module):
         need_attn=False,
     ):
         """Teacher-forced mel decode -> (before, after, stop_logits, cross_attn)."""
+        enc = self.integrate_spk_embed(enc, spkembs)
         x, self_valid = self.speech_decoder_prenet(
             prev_mel, tgt_lengths, spkembs, deterministic=deterministic
         )
@@ -223,7 +240,33 @@ class SpeechT5Model(nn.Module):
         )
         return before, after, stop_logits, cross
 
-    def init_speech_cache(self, enc, batch_size: int, max_len: int):
+    def integrate_spk_embed(self, enc, spkembs):
+        """Model-level x-vector integration into the encoder output for
+        spk_embed_integration 'add' | 'concat' (reference speecht5.py:895-908
+        call site, :1001-1020 math: L2-normalize the x-vector, then either
+        project-and-add or concat-and-project).  No-op for 'pre' (handled by
+        the speech decoder prenet) or when no x-vector is given."""
+        cfg = self.cfg
+        if spkembs is None or cfg.spk_embed_dim is None \
+                or cfg.spk_embed_integration == "pre":
+            return enc
+        hs = enc["encoder_out"]
+        s = spkembs / jnp.maximum(
+            jnp.linalg.norm(spkembs, axis=-1, keepdims=True), 1e-12
+        )
+        s = s.astype(hs.dtype)
+        if cfg.spk_embed_integration == "add":
+            hs = hs + self.spkembs_projection(s)[:, None, :]
+        else:  # concat
+            s = jnp.broadcast_to(s[:, None, :], hs.shape[:2] + (s.shape[-1],))
+            hs = self.spkembs_projection(jnp.concatenate([hs, s], axis=-1))
+        enc = dict(enc)
+        enc["encoder_out"] = hs
+        return enc
+
+    def init_speech_cache(self, enc, batch_size: int, max_len: int,
+                          spkembs=None):
+        enc = self.integrate_spk_embed(enc, spkembs)
         return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
 
     def speech_decode_step(self, prev_frame, cache, *, spkembs=None,

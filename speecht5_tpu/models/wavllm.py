@@ -406,7 +406,13 @@ class WavLLMModel(nn.Module):
         seq = jnp.concatenate(segs, axis=1)
         valid = jnp.concatenate(valids, axis=1)
         n_prompt = (prompt_tokens != cfg.pad_id).astype(jnp.int32).sum(1)
-        first_idx = Ll + La + jnp.maximum(n_prompt, 1) - 1     # [B]
+        # empty prompt: fall back to the last REAL audio frame (a padded
+        # prompt slot is attention-masked, so its query output is garbage)
+        first_idx = jnp.where(
+            n_prompt > 0,
+            Ll + La + n_prompt - 1,
+            Ll + jnp.maximum(audio_lens, 1) - 1,
+        )                                                      # [B]
         return seq, valid, first_idx
 
     def _moe_gate(self, audio, audio_lens):

@@ -182,3 +182,70 @@ class TestTrainingForwards:
         assert out["time_mask"] is not None
         assert out["before"].shape == (2, 3 * cfg.reduction_factor, cfg.n_mels)
         assert len(out["hubert_logits"]) == 1
+
+
+class TestSpkEmbedIntegration:
+    """spk_embed_integration 'add'/'concat' act on the ENCODER output
+    (reference speecht5.py:895-908, _integrate_with_spk_embed :1001-1020);
+    'pre' acts inside the speech decoder prenet."""
+
+    @pytest.mark.parametrize("mode", ["pre", "add", "concat"])
+    def test_mode_changes_output(self, mode):
+        from speecht5_tpu.config import speecht5_tiny
+        from dataclasses import replace
+
+        cfg = replace(speecht5_tiny(), spk_embed_integration=mode)
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        rngk = jax.random.PRNGKey(3)
+        wav = jax.random.normal(rngk, (2, 4000)) * 0.1
+        lengths = jnp.asarray([4000, 4000])
+        enc = model.apply(variables, wav, lengths, method="encode_speech")
+        Tr = 3
+        prev_mel = jax.random.normal(rngk, (2, Tr, cfg.n_mels))
+        spk_a = jax.random.normal(jax.random.PRNGKey(4), (2, cfg.spk_embed_dim))
+        spk_b = jax.random.normal(jax.random.PRNGKey(5), (2, cfg.spk_embed_dim))
+        out_a = model.apply(variables, enc, prev_mel, jnp.asarray([Tr, Tr]),
+                            spk_a, method="decode_speech")[0]
+        out_b = model.apply(variables, enc, prev_mel, jnp.asarray([Tr, Tr]),
+                            spk_b, method="decode_speech")[0]
+        # a different x-vector must change the decode in every mode
+        assert np.abs(np.asarray(out_a) - np.asarray(out_b)).max() > 1e-6
+
+    @pytest.mark.parametrize("mode", ["add", "concat"])
+    def test_incremental_matches_full(self, mode):
+        from speecht5_tpu.config import speecht5_tiny
+        from dataclasses import replace
+
+        cfg = replace(speecht5_tiny(), spk_embed_integration=mode)
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        rngk = jax.random.PRNGKey(2)
+        wav = jax.random.normal(rngk, (1, 4000)) * 0.1
+        enc = model.apply(variables, wav, jnp.asarray([4000]),
+                          method="encode_speech")
+        Tr = 4
+        prev_mel = jax.random.normal(rngk, (1, Tr, cfg.n_mels))
+        spk = jax.random.normal(rngk, (1, cfg.spk_embed_dim))
+        before = model.apply(variables, enc, prev_mel, jnp.asarray([Tr]), spk,
+                             method="decode_speech")[0]
+        cache = model.apply(variables, enc, 1, 8, spkembs=spk,
+                            method="init_speech_cache")
+        frames_all = []
+        for t in range(Tr):
+            frames, _, cache, _ = model.apply(
+                variables, prev_mel[:, t : t + 1], cache, spkembs=spk,
+                enc_valid=enc["valid_mask"], method="speech_decode_step",
+            )
+            frames_all.append(np.asarray(frames))
+        np.testing.assert_allclose(
+            np.asarray(before), np.concatenate(frames_all, axis=1),
+            atol=2e-4, rtol=1e-3,
+        )
+
+    def test_config_validation(self):
+        from dataclasses import replace
+        from speecht5_tpu.config import speecht5_tiny
+
+        with pytest.raises(ValueError, match="spk_embed_integration"):
+            replace(speecht5_tiny(), spk_embed_integration="bogus")
+        with pytest.raises(ValueError, match="se_predict"):
+            replace(speecht5_tiny(), se_predict="bogus")
