@@ -34,7 +34,7 @@ def main():
 
     from speecht5_tpu.models.speechut import SpeechUTModel, speechut_tiny
     from speecht5_tpu.train.joint import JointLossConfig, make_speechut_joint_loss
-    from speecht5_tpu.data.multicorpus import CorpusSpec, JointCorpusLoader
+    from speecht5_tpu.data.multicorpus import MultiCorpusLoader, TokenCorpusSpec
 
     cfg = speechut_tiny()
     model = SpeechUTModel(cfg)
@@ -86,11 +86,26 @@ def main():
         return {"units": jnp.stack(
             [jnp.asarray(x["units"], jnp.int32) for x in items])}
 
-    loader = JointCorpusLoader([
-        CorpusSpec("speech", speech_ds, collate_speech, B_SP),
-        CorpusSpec("text_paired", paired_ds, collate_paired, B_PAIR),
-        CorpusSpec("text_mono", mono_ds, collate_mono, B_MONO),
-    ], seed=args.seed)
+    # reference-faithful sampling: per-epoch instance counts follow
+    # sample_ratio * total, text corpora batch under a scaled token budget
+    # (reference multimodal_corpus_dataset.py:77-150,387-416 semantics;
+    # tasks/joint_sc2t_pretrain.py:902-925 sets text budgets ~1/320 of the
+    # speech sample budget).  The synthetic items are fixed-length, so these
+    # budgets yield the same static batch shapes (2, 2, 2) every step.
+    total = len(speech_ds) + len(paired_ds) + len(mono_ds)
+    loader = MultiCorpusLoader([
+        TokenCorpusSpec("speech", speech_ds, collate_speech,
+                        np.full(len(speech_ds), T_WAV),
+                        sample_ratio=len(speech_ds) / total),
+        TokenCorpusSpec("text_paired", paired_ds, collate_paired,
+                        np.full(len(paired_ds), 10),
+                        sample_ratio=len(paired_ds) / total,
+                        max_tokens_ratio=(10 * B_PAIR) / (T_WAV * B_SP)),
+        TokenCorpusSpec("text_mono", mono_ds, collate_mono,
+                        np.full(len(mono_ds), 12),
+                        sample_ratio=len(mono_ds) / total,
+                        max_tokens_ratio=(12 * B_MONO) / (T_WAV * B_SP)),
+    ], max_tokens=T_WAV * B_SP, seed=args.seed)
 
     # --- model + jitted joint step ------------------------------------------
     rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
