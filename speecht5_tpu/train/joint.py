@@ -223,3 +223,63 @@ def make_speechut_joint_loss(model, jcfg: JointLossConfig):
         return loss, metrics
 
     return loss_fn
+
+
+def make_yitrans_pretrain_loss(model, jcfg: JointLossConfig,
+                               text_weight: float = 1.0):
+    """YiTrans stage-1 joint pretraining step (reference
+    YiTrans/yitrans_iwslt22/models/pretrain_ed.py:200 + the task's
+    MultiCorpusDataset composition, tasks/iwslt_joint_pretraining.py:360-540):
+    masked speech prediction over km units + multilingual BART denoising CE
+    over langid-tagged text.
+
+    batch = {
+      "speech":    {wav, wav_lengths, units [B, frames]},
+      "text_mono": {src_tokens, prev_tokens, targets} or None
+                   (MultilingualDenoisingDataset.collate output),
+    }
+    """
+    mcfg = model.cfg
+
+    def loss_fn(params, batch, rng):
+        variables = {"params": params}
+        metrics = {}
+        sp = batch["speech"]
+        rngs = {"mask": rng, "dropout": jax.random.fold_in(rng, 1)}
+        enc = model.apply(
+            variables, sp["wav"], sp["wav_lengths"], mask=True,
+            deterministic=False, rngs=rngs, method="encode_speech",
+        )
+        sp_logits = model.apply(variables, enc, method="hubert_logits")
+        loss, m = criterions.hubert_loss(
+            [sp_logits], [sp["units"]], enc["time_mask"], enc["valid_mask"],
+            pred_masked_weight=jcfg.pred_masked_weight,
+            pred_nomask_weight=jcfg.pred_nomask_weight,
+        )
+        metrics.update({f"speech_{k}": v for k, v in m.items()})
+        sample_size = (enc["time_mask"] & enc["valid_mask"]).sum()
+
+        tm = batch.get("text_mono")
+        if tm is not None and text_weight > 0:
+            rngs_t = {"dropout": jax.random.fold_in(rng, 2)}
+            logits = model.apply(
+                variables, tm["src_tokens"], tm["prev_tokens"],
+                deterministic=False, rngs=rngs_t, method="forward_mt",
+            )
+            tgt_valid = tm["targets"] != mcfg.pad_id
+            tsize = jnp.maximum(tgt_valid.sum(), 1)
+            ce, _ = criterions.label_smoothed_ce(
+                logits.astype(jnp.float32), tm["targets"], tgt_valid,
+                jcfg.label_smoothing,
+            )
+            loss = loss + text_weight * ce * (sample_size / tsize)
+            metrics["denoise_loss"] = ce
+            metrics["denoise_acc"] = (
+                ((logits.argmax(-1) == tm["targets"]) & tgt_valid).sum()
+                / tsize
+            )
+        metrics["loss"] = loss
+        metrics["sample_size"] = sample_size
+        return loss, metrics
+
+    return loss_fn
