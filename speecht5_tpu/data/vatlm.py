@@ -9,10 +9,12 @@ Reference: VATLM/vat_hubert/vathubert/data/vathubert_dataset.py —
 - audio is trimmed / zero-padded to the video length (load_feature:291-296);
 - optional per-frame layer norm of the stacked features after alignment
   (reference __getitem__: ``F.layer_norm(audio_feats, shape[1:])``);
-- video features are [T, H, W, 1] lip-ROI crops. The reference decodes mp4
-  via OpenCV at load time; here video is read from preprocessed ``.npy``
-  tensors of the same shape (the AV-HuBERT ROI-extraction output format) —
-  mp4 decoding is a preprocessing concern, not a training-loop one;
+- video features are [T, H, W, 1] lip-ROI crops decoded from files
+  (``.npy`` AV-HuBERT ROI tensors or uncompressed ``.y4m`` video — see
+  data/video.py; the reference uses OpenCV mp4 decode, load_video:299-300)
+  and passed through the reference's image transforms: train =
+  Normalize(0,255) + RandomCrop(88) + HorizontalFlip(0.5) +
+  Normalize(mean, std), eval = CenterCrop (vathubert_dataset.py:220-231);
 - K km-label streams with byte-offset random access; this build assumes
   label rate == fused frame rate (25 Hz), the configuration every shipped
   VATLM recipe uses;
@@ -87,11 +89,23 @@ class VATLMDataset:
     stack_order: int = 4
     normalize: bool = True
     sr: int = 16000
+    #: image-space pipeline (reference vathubert_dataset.py:220-231;
+    #: defaults from tasks/vathubert_pretraining.py:169-175).  image_aug=True
+    #: applies the train transform (RandomCrop + HorizontalFlip), else the
+    #: eval CenterCrop.  Raw [T, H, W(, 1)] inputs in [0, 255] are expected;
+    #: already-normalized preprocessed tensors can set image_transform=False.
+    image_transform: bool = True
+    image_aug: bool = False
+    image_crop_size: int = 88
+    image_mean: float = 0.421
+    image_std: float = 0.165
+    seed: int = 1
     root: str = field(init=False)
 
     def __post_init__(self):
         self.root, self.rows, self.sizes = load_av_manifest(
             self.manifest_path)
+        self.epoch = 0
         self.labels = [
             [line.rstrip("\n") for line in open(p, encoding="utf-8")]
             for p in self.label_paths
@@ -104,14 +118,33 @@ class VATLMDataset:
     def __len__(self):
         return len(self.rows)
 
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
     def __getitem__(self, i: int) -> Dict:
+        from .video import load_video, train_transform, eval_transform
+
         row = self.rows[i]
         video = audio = None
         if "video" in self.modalities:
-            video = np.load(os.path.join(self.root, row["video"]))
-            if video.ndim == 3:  # [T, H, W] -> single channel
-                video = video[..., None]
-            video = video.astype(np.float32)
+            video = load_video(os.path.join(self.root, row["video"]))
+            if video.ndim == 4:
+                video = video[..., 0]
+            if self.image_transform:
+                if self.image_aug:
+                    rng = np.random.default_rng(
+                        np.random.SeedSequence([self.seed, self.epoch, i])
+                    )
+                    video = train_transform(
+                        video, rng, self.image_crop_size,
+                        self.image_mean, self.image_std,
+                    )
+                else:
+                    video = eval_transform(
+                        video, self.image_crop_size,
+                        self.image_mean, self.image_std,
+                    )
+            video = video[..., None].astype(np.float32)
         if "audio" in self.modalities:
             wav, sr = read_audio(os.path.join(self.root, row["audio"]))
             if sr != self.sr:
