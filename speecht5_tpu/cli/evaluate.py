@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--override", action="append", default=[],
                    help="config field override, dotted path = literal, "
                         "repeatable (must match the training overrides)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard each decode batch over all devices "
+                        "(jax Mesh data axis; batch size must be a multiple "
+                        "of the device count — the tail batch is padded)")
     args = p.parse_args(argv)
     args.max_tokens = 0  # build_dataset compat
 
@@ -139,8 +143,27 @@ def main(argv=None):
     if args.task == "s2t":
         from ..decode.asr import ASRDecoder
 
+        mesh = None
+        dec_vars = ensemble if ensemble else variables
+        if args.data_parallel:
+            from ..parallel.sharding import (
+                make_mesh, shard_decode_variables,
+            )
+
+            mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+            if args.batch_size % len(jax.devices()) != 0:
+                raise SystemExit(
+                    f"--batch-size {args.batch_size} must be a multiple of "
+                    f"the device count {len(jax.devices())}"
+                )
+            if ensemble:
+                dec_vars = [shard_decode_variables(v, mesh) for v in ensemble]
+            else:
+                dec_vars = shard_decode_variables(variables, mesh)
+            print(f"data-parallel decode over {len(jax.devices())} devices",
+                  flush=True)
         dec = ASRDecoder(
-            model, ensemble if ensemble else variables,
+            model, dec_vars,
             beam_size=args.beam, max_len=args.max_len,
             ctc_weight=args.ctc_weight,
         )
@@ -148,9 +171,18 @@ def main(argv=None):
         for s in range(0, n, args.batch_size):
             idxs = order[s : s + args.batch_size]
             items = [ds[i] for i in idxs]
+            if mesh is not None and len(items) < args.batch_size:
+                # pad the tail batch to the full sharded size; padded rows
+                # decode garbage that is simply never read back
+                items = items + [items[-1]] * (args.batch_size - len(items))
             batch = ds.collate(items, cfg.eos_id, cfg.pad_id)
-            res = dec(jnp.asarray(batch["wav"]),
-                      jnp.asarray(batch["wav_lengths"]))
+            wav = jnp.asarray(batch["wav"])
+            wlen = jnp.asarray(batch["wav_lengths"])
+            if mesh is not None:
+                from ..parallel.sharding import shard_decode_batch
+
+                wav, wlen = shard_decode_batch((wav, wlen), mesh)
+            res = dec(wav, wlen)
             toks = np.asarray(res.tokens)[:, 0]
             lens = np.asarray(res.lengths)[:, 0]
             for b, i in enumerate(idxs):

@@ -118,3 +118,39 @@ def batch_shardings(batch, mesh: Mesh, batch_axis: int = 0):
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def shard_decode_variables(variables, mesh: Mesh, tensor_parallel: bool = False):
+    """Place model variables for multi-device inference: replicated for
+    data-parallel decode, Megatron-split (the _RULES above) when
+    ``tensor_parallel`` — the TPU-native counterpart of the reference's
+    fairseq-generate --distributed-world-size decode, which has no in-tree
+    implementation (SURVEY.md 2.8)."""
+    if not tensor_parallel:
+        return jax.device_put(
+            variables, jax.tree_util.tree_map(
+                lambda _: replicated(mesh), variables)
+        )
+    out = dict(variables)
+    out["params"] = jax.device_put(
+        variables["params"], params_shardings(variables["params"], mesh)
+    )
+    for k, v in variables.items():
+        if k != "params":
+            out[k] = jax.device_put(
+                v, jax.tree_util.tree_map(lambda _: replicated(mesh), v)
+            )
+    return out
+
+
+def shard_decode_batch(args, mesh: Mesh):
+    """device_put positional decode inputs with the batch axis over 'data'.
+    Batch size must be a multiple of the 'data' axis (pad the tail batch)."""
+    n_data = mesh.shape.get("data", 1)
+    out = []
+    for a in args:
+        assert a.shape[0] % n_data == 0, (
+            f"batch {a.shape[0]} not divisible by data axis {n_data}"
+        )
+        out.append(jax.device_put(a, NamedSharding(mesh, P("data"))))
+    return tuple(out)

@@ -250,3 +250,38 @@ def test_apply_overrides():
         C.apply_overrides(cfg, ["sid.not_a_field=1"])
     with _pytest.raises(ValueError):
         C.apply_overrides(cfg, ["malformed"])
+
+
+def test_evaluate_data_parallel_matches(corpus):
+    """--data-parallel shards each decode batch over the 8-device CPU mesh
+    and must reproduce the single-device hypotheses exactly."""
+    from speecht5_tpu.cli.train import main as train_main
+    from speecht5_tpu.cli.evaluate import main as eval_main
+
+    save = corpus / "ckpt_dp"
+    common = [
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+    ]
+    train_main(common + [
+        "--task", "s2t", "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--lr", "1e-3", "--warmup", "2", "--mask-prob", "0",
+        "--save-interval", "4", "--log-interval", "4",
+    ])
+    eval_args = common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--beam", "2", "--max-len", "8", "--batch-size", "8",
+        "--ctc-weight", "0.3",
+    ]
+    single = eval_main(eval_args + ["--results-path",
+                                    str(corpus / "res_single")])
+    dp = eval_main(eval_args + ["--data-parallel", "--results-path",
+                                str(corpus / "res_dp")])
+    assert single["n_utts"] == dp["n_utts"] == N_UTTS
+    h1 = (corpus / "res_single" / "hyps.txt").read_text()
+    h2 = (corpus / "res_dp" / "hyps.txt").read_text()
+    assert h1 == h2
+    assert abs(single["value"] - dp["value"]) < 1e-9
