@@ -1,10 +1,13 @@
 """Per-segment timing of the SpeechT5 train step on one TPU chip.
 
-Times independently-jitted forward segments (conv FE / encoder / decoder /
-CTC head) plus the full forward and the full update at base-ASR training
-shapes, each against its analytical FLOPs (utils/flops.py), to show where
-the step spends time and what each segment's achieved TFLOP/s is.
+Times forward segments (conv FE+encoder / decoder / CTC head) and the FULL
+train step, each as N dependent iterations inside ONE jitted lax.fori_loop
+(the carry perturbs the next input, so iterations can't be CSE'd or
+memoized).  This measures pure device time: the remote-tunnel dispatch
+latency of this environment (~25-30 ms per call, measured) would otherwise
+dominate every sub-100 ms segment.
 
+Each segment is reported against its analytical FLOPs (utils/flops.py).
 Evidence artifact for the profile-guided perf pass; the driver bench is
 bench.py.  Usage: python bench_breakdown.py [--arch base|large] [--batch N]
 """
@@ -16,19 +19,12 @@ import time
 
 import numpy as np
 
+T0 = time.time()
 
-def timed(fn, *args, iters=5):
-    import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+def note(msg):
+    print(f"[breakdown {time.time()-T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -37,17 +33,21 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--tgt-len", type=int, default=60)
+    ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    note(f"devices: {jax.devices()}")
 
     from speecht5_tpu.config import speecht5_base, speecht5_large
     from speecht5_tpu.models.speecht5 import init_model
-    from speecht5_tpu.train.trainer import Trainer, TrainConfig
+    from speecht5_tpu.train.trainer import (
+        TrainConfig, TrainState, make_optimizer, make_train_step,
+    )
     from speecht5_tpu.utils import flops as F
 
     preset = speecht5_base if args.arch == "base" else speecht5_large
@@ -56,6 +56,7 @@ def main():
     L = args.tgt_len
     T_enc = cfg.conv_features.out_length(T)
     peak = F.chip_peak_flops()
+    ITERS = args.iters
 
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -66,12 +67,31 @@ def main():
         jax.block_until_ready(variables)
     except RuntimeError:
         model, variables = init_model(cfg, jax.random.PRNGKey(0))
-    print("init done", file=sys.stderr, flush=True)
+    note("init done")
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((B, T)), jnp.float32) * 0.1
     wav_lengths = jnp.full((B,), T, jnp.int32)
     prev = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, L)), jnp.int32)
+
+    def device_loop_time(make_step, init_x):
+        """seconds/iter for ITERS dependent iterations in one program."""
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(
+                0, ITERS, lambda i, c: make_step(c), x)
+
+        r = run(init_x)
+        float(jnp.sum(jax.tree_util.tree_leaves(r)[0]
+                      .astype(jnp.float32).ravel()[:1][0]))  # warm + fence
+        fresh = jax.tree_util.tree_map(
+            lambda a: a + jnp.asarray(1e-3, a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, init_x)
+        t0 = time.perf_counter()
+        r = run(fresh)
+        float(jnp.sum(jax.tree_util.tree_leaves(r)[0]
+                      .astype(jnp.float32).ravel()[:1][0]))
+        return (time.perf_counter() - t0) / ITERS
 
     rows = []
 
@@ -83,52 +103,103 @@ def main():
             "achieved_tflops_s": round(flops / seconds / 1e12, 1),
             "pct_peak": round(flops / seconds / peak * 100, 1),
         })
-        print(f"  {name:18s} {seconds*1e3:8.2f} ms  "
-              f"{flops/seconds/1e12:7.1f} TF/s  "
-              f"({flops/seconds/peak*100:5.1f}% peak)",
-              file=sys.stderr, flush=True)
+        note(f"  {name:18s} {seconds*1e3:8.2f} ms  "
+             f"{flops/seconds/1e12:7.1f} TF/s  "
+             f"({flops/seconds/peak*100:5.1f}% peak)")
 
     # ---- forward segments (deterministic; no masking) ----
-    conv = jax.jit(lambda v, w: model.apply(
-        v, w, wav_lengths, mask=False, deterministic=True,
-        method="encode_speech"))
-    dt = timed(conv, variables, wav)
+    def fe_step(w):
+        h = model.apply(
+            variables, w,
+            method=lambda m, x: m.speech_encoder_prenet.feature_extractor(x))
+        return w + h.astype(jnp.float32).mean() * 1e-6
+
+    dt_fe = device_loop_time(fe_step, wav)
+    report("conv FE only", dt_fe, F.conv_frontend_flops(cfg, B, T))
+
+    def conv_step(w):
+        h = model.apply(variables, w, wav_lengths, mask=False,
+                        deterministic=True, method="encode_speech")
+        return w + h["encoder_out"].astype(jnp.float32).mean() * 1e-6
+
+    dt = device_loop_time(conv_step, wav)
     c_fe = cfg.conv_features.layers[-1][0]
     f_conv_enc = (F.conv_frontend_flops(cfg, B, T)
                   + 2.0 * B * T_enc * c_fe * cfg.d_model
                   + F.encoder_flops(cfg.encoder, B, T_enc))
     report("prenet+encoder", dt, f_conv_enc)
 
-    enc_out = conv(variables, wav)
-    dec = jax.jit(lambda v, e, p: model.apply(
-        v, e, p, deterministic=True, method="decode_text"))
-    dt_dec = timed(dec, variables, enc_out, prev)
+    # encoder stack alone, on fixed prenet features
+    feats, feats_valid, _, _ = jax.jit(lambda v, w: model.apply(
+        v, w, wav_lengths, mask=False, deterministic=True,
+        method=lambda m, a, b: m.speech_encoder_prenet(
+            a, b, mask=False, deterministic=True)))(variables, wav)
+    jax.block_until_ready(feats)
+
+    def encstack_step(h):
+        out = model.apply(
+            variables, h, feats_valid,
+            method=lambda m, a, b: m.encoder(a, b, deterministic=True))
+        return h + out["encoder_out"].astype(h.dtype).mean() * 1e-6
+
+    dt_es = device_loop_time(encstack_step, feats)
+    report("encoder stack", dt_es, F.encoder_flops(cfg.encoder, B, T_enc))
+
+    enc_out = jax.jit(lambda v, w: model.apply(
+        v, w, wav_lengths, mask=False, deterministic=True,
+        method="encode_speech"))(variables, wav)
+    jax.block_until_ready(enc_out)
+
+    def _perturb(e, logits):
+        d = logits.astype(jnp.float32).mean() * 1e-6
+        return jax.tree_util.tree_map(
+            lambda a: a + d.astype(a.dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, e)
+
+    def dec_step(e):
+        logits = model.apply(variables, e, prev, deterministic=True,
+                             method="decode_text")
+        return _perturb(e, logits)
+
+    dt_dec = device_loop_time(dec_step, enc_out)
     f_dec = (F.decoder_teacher_flops(cfg.decoder, B, L, T_enc)
              + 2.0 * B * L * cfg.d_model * cfg.vocab_size)
     report("decoder+logits", dt_dec, f_dec)
 
-    ctc = jax.jit(lambda v, e: model.apply(v, e, method="ctc_logits"))
-    dt_ctc = timed(ctc, variables, enc_out)
-    report("ctc head", dt_ctc, 2.0 * B * T_enc * cfg.d_model * cfg.vocab_size)
+    def ctc_step(e):
+        logits = model.apply(variables, e, method="ctc_logits")
+        return _perturb(e, logits)
 
-    # ---- full train step (fwd+bwd+clip+adamw) ----
+    dt_ctc = device_loop_time(ctc_step, enc_out)
+    report("ctc head", dt_ctc,
+           2.0 * B * T_enc * cfg.d_model * cfg.vocab_size)
+
+    # ---- full train step (fwd+bwd+clip+adamw), fori_loop over steps ----
     tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
-    trainer = Trainer(model, variables, "s2t", tcfg)
+    tx = make_optimizer(tcfg)
+    step_fn = make_train_step(model, "s2t", tcfg)
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    state0 = TrainState(params, tx.init(params),
+                        jnp.zeros((), jnp.int32), extra)
     batch = {
         "wav": wav, "wav_lengths": wav_lengths, "prev_tokens": prev,
         "targets": prev, "target_lengths": jnp.full((B,), L, jnp.int32),
     }
-    key = jax.random.PRNGKey(1)
-    m = trainer.train_step(batch, key)
-    float(m["loss"])
-    ts = []
-    for i in range(10):
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        m = trainer.train_step(batch, sub)
-        float(m["loss"])
-        ts.append(time.perf_counter() - t0)
-    dt_step = sorted(ts)[len(ts) // 2]
+
+    @jax.jit
+    def run_steps(state, key):
+        def body(i, st):
+            st, m = step_fn(st, batch, jax.random.fold_in(key, i))
+            return st
+        return jax.lax.fori_loop(0, ITERS, body, state)
+
+    st = run_steps(state0, jax.random.PRNGKey(1))
+    float(st.step)  # warm + fence
+    t0 = time.perf_counter()
+    st = run_steps(st, jax.random.PRNGKey(2))
+    float(st.step)
+    dt_step = (time.perf_counter() - t0) / ITERS
     f_step = F.s2t_train_flops(cfg, B, T, L)
     report("train step", dt_step, f_step)
 
@@ -136,6 +207,7 @@ def main():
     print(json.dumps({
         "metric": f"speecht5_{args.arch}_train_breakdown",
         "batch": B, "utt_secs": args.secs,
+        "timing": "device fori_loop (dispatch-free)",
         "segments": rows,
         "fwd_segments_ms": round(fwd_time * 1e3, 2),
         "train_step_ms": round(dt_step * 1e3, 2),

@@ -75,6 +75,10 @@ class ConvFeatureConfig:
     )
     mode: str = "default"  # "default": GroupNorm on first layer; "layer_norm": LN every layer
     bias: bool = False
+    # conv lowering for the strided middle layers: "xla" (conv_general_dilated)
+    # or "polyphase" (k strided-slice matmuls — see prenets._PolyphaseConv).
+    # Parameters are identical either way.
+    impl: str = "xla"
 
     @property
     def downsample_rate(self) -> int:
@@ -142,6 +146,12 @@ class TransformerConfig:
     # (jax.checkpoint via nn.remat; the reference's optional
     # checkpoint_wrapper, decoder.py:88-91).  Needed for Large training.
     remat: bool = False
+    # materialize attention logits (scores + rel-pos bias) in f32.  False
+    # keeps the [B, H, T, T] tensors in compute dtype — softmax still
+    # reduces in f32 — halving their HBM traffic under bf16.  The reference
+    # trains fp16 and also materializes scores in compute dtype (fairseq
+    # fp16 path), so False is the parity choice for bf16 training.
+    attn_scores_f32: bool = True
     # use the Pallas fused attention kernel with in-kernel banded rel-pos
     # bias for full (non-causal, uncached) self-attention at inference.
     # Forward-only (no custom VJP), so it engages only on deterministic

@@ -107,6 +107,12 @@ class MultiheadAttention(nn.Module):
     use_pallas_train: bool = False  # differentiable fused kernel (custom VJP,
     #                            in-kernel dropout) on non-deterministic full
     #                            self-attention (config.use_pallas_attn_train)
+    scores_f32: bool = True    # materialize attention logits/bias in f32.
+    #                            False keeps them in compute dtype (softmax
+    #                            still reduces in f32) — halves the [B,H,T,T]
+    #                            HBM traffic under bf16; matches the
+    #                            reference's fp16 training, which also keeps
+    #                            scores in compute dtype (fairseq fp16 path).
 
     @property
     def head_dim(self):
@@ -246,11 +252,12 @@ class MultiheadAttention(nn.Module):
             out = self.out_proj(o.reshape(B, Tq, self.d_model))
             return out, None, new_cache
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        score_dtype = jnp.float32 if self.scores_f32 else self.dtype
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(score_dtype)
 
         if pos_band is not None:
             logits = logits + relative_bias_banded(q, pos_band).astype(
-                jnp.float32
+                score_dtype
             )
         elif pos_table is not None:
             if cache is not None and cache_index is not None:
@@ -260,7 +267,7 @@ class MultiheadAttention(nn.Module):
             k_pos = jnp.arange(Tk)
             logits = logits + relative_bias(
                 q, pos_table, q_pos, k_pos, max_dist
-            ).astype(jnp.float32)
+            ).astype(score_dtype)
 
         mask = None
         if key_valid is not None:
@@ -275,9 +282,9 @@ class MultiheadAttention(nn.Module):
                 cm = jnp.tril(jnp.ones((Tq, Tk), dtype=bool))[None, None]
             mask = cm if mask is None else (mask & cm)
         if mask is not None:
-            logits = jnp.where(mask, logits, NEG_INF)
+            logits = jnp.where(mask, logits, jnp.asarray(NEG_INF, logits.dtype))
 
-        weights = jax.nn.softmax(logits, axis=-1)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         probs = weights.astype(self.dtype)
         if self.dropout > 0.0 and not deterministic:
             keep = jax.random.bernoulli(

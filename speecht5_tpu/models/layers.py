@@ -69,7 +69,8 @@ class EncoderLayer(nn.Module):
             cfg.d_model, cfg.num_heads, cfg.attention_dropout,
             dtype=self.dtype, param_dtype=self.param_dtype,
             use_pallas=cfg.use_pallas_attn,
-            use_pallas_train=cfg.use_pallas_attn_train, name="self_attn",
+            use_pallas_train=cfg.use_pallas_attn_train,
+            scores_f32=cfg.attn_scores_f32, name="self_attn",
         )
         self.self_attn_layer_norm = _ln(cfg, "self_attn_layer_norm")
         self.final_layer_norm = _ln(cfg, "final_layer_norm")
@@ -138,11 +139,13 @@ class DecoderLayer(nn.Module):
         cfg = self.cfg
         self.self_attn = MultiheadAttention(
             cfg.d_model, cfg.num_heads, cfg.attention_dropout,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="self_attn",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            scores_f32=cfg.attn_scores_f32, name="self_attn",
         )
         self.encoder_attn = MultiheadAttention(
             cfg.d_model, cfg.num_heads, cfg.attention_dropout,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="encoder_attn",
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            scores_f32=cfg.attn_scores_f32, name="encoder_attn",
         )
         self.self_attn_layer_norm = _ln(cfg, "self_attn_layer_norm")
         self.encoder_attn_layer_norm = _ln(cfg, "encoder_attn_layer_norm")

@@ -129,6 +129,50 @@ class _Conv0MatMul(nn.Module):
         return frames @ kernel[:, 0, :].astype(self.dtype)
 
 
+class _PolyphaseConv(nn.Module):
+    """Strided Conv1d as a sum of per-tap strided-slice matmuls.
+
+    y[t] = sum_j x[s*t + j] @ W[j] — each tap is one [B*n_out, C_in] x
+    [C_in, C_out] GEMM over a strided slice, so the whole layer runs as k
+    well-shaped MXU matmuls instead of XLA:TPU's conv emitter (measured
+    ~26% of bf16 peak for the w2v2 middle layers).  Param names/shapes are
+    identical to nn.Conv ("kernel" [k, C_in, C_out], optional "bias"), so
+    checkpoints and converters are unaffected.  Numerics match conv up to
+    f32-accumulator reassociation (one extra add per tap).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        B, T, C_in = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, C_in, self.features), self.param_dtype,
+        )
+        n_out = (T - k) // s + 1
+        y = None
+        for j in range(k):
+            xj = jax.lax.slice_in_dim(
+                x, j, j + s * (n_out - 1) + 1, stride=s, axis=1
+            ).astype(self.dtype)
+            yj = xj @ kernel[j].astype(self.dtype)
+            y = yj if y is None else y + yj
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class _PerChannelGroupNorm(nn.Module):
     """GroupNorm with num_groups == channels (per-channel stats over time),
     the w2v2 "default" mode's Fp32GroupNorm on conv layer 0.
@@ -178,11 +222,14 @@ class ConvFeatureExtractor(nn.Module):
                     dim, k, stride, self.dtype, self.param_dtype,
                     name="conv_0",
                 )(x)
+            elif self.cfg.impl == "polyphase":
+                # per-tap strided-slice matmuls (no [B, T, k*C] im2col blowup;
+                # an im2col variant was measured SLOWER at 5.5 vs 6.8 steps/s)
+                x = _PolyphaseConv(
+                    dim, k, stride, self.cfg.bias,
+                    self.dtype, self.param_dtype, name=f"conv_{i}",
+                )(x)
             else:
-                # NB: an im2col+matmul variant (_ConvMatMul) was measured
-                # SLOWER here (5.5 vs 6.8 steps/s at base ASR shapes): the
-                # [B, T, k*C] column materialization outweighs the layout
-                # transposes XLA places around its conv op.  Keep XLA convs.
                 x = nn.Conv(
                     features=dim,
                     kernel_size=(k,),

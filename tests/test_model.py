@@ -249,3 +249,66 @@ class TestSpkEmbedIntegration:
             replace(speecht5_tiny(), spk_embed_integration="bogus")
         with pytest.raises(ValueError, match="se_predict"):
             replace(speecht5_tiny(), se_predict="bogus")
+
+
+class TestConvLowering:
+    def test_polyphase_conv_matches_xla(self):
+        """conv_features.impl='polyphase' computes the same features from the
+        same params as the XLA conv lowering (prenets._PolyphaseConv)."""
+        from dataclasses import replace
+        from speecht5_tpu.config import ConvFeatureConfig
+        from speecht5_tpu.models.prenets import ConvFeatureExtractor
+
+        cfg_x = ConvFeatureConfig()  # full w2v2 stack incl. k=10/s=5, k=2/s=2
+        cfg_p = replace(cfg_x, impl="polyphase")
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
+        m_x = ConvFeatureExtractor(cfg_x)
+        vs = m_x.init(jax.random.PRNGKey(0), wav)
+        out_x = m_x.apply(vs, wav)
+        out_p = ConvFeatureExtractor(cfg_p).apply(vs, wav)  # same params
+        assert out_x.shape == out_p.shape
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_p), atol=2e-5, rtol=1e-4
+        )
+
+    def test_polyphase_conv_with_bias(self):
+        from dataclasses import replace
+        from speecht5_tpu.config import ConvFeatureConfig
+        from speecht5_tpu.models.prenets import ConvFeatureExtractor
+
+        cfg_x = ConvFeatureConfig(
+            layers=((64, 3, 2), (64, 2, 2)), bias=True, mode="layer_norm"
+        )
+        cfg_p = replace(cfg_x, impl="polyphase")
+        rng = np.random.default_rng(1)
+        wav = jnp.asarray(rng.standard_normal((2, 999)), jnp.float32)
+        m_x = ConvFeatureExtractor(cfg_x)
+        vs = m_x.init(jax.random.PRNGKey(0), wav)
+        out_x = m_x.apply(vs, wav)
+        out_p = ConvFeatureExtractor(cfg_p).apply(vs, wav)
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_p), atol=2e-5, rtol=1e-4
+        )
+
+    def test_attn_scores_dtype_flag(self):
+        """attn_scores_f32=False is a pure layout/traffic choice: at f32
+        compute dtype the program is identical (score_dtype == f32)."""
+        from dataclasses import replace
+        from speecht5_tpu.config import speecht5_tiny
+
+        cfg = speecht5_tiny()
+        cfg2 = replace(
+            cfg,
+            encoder=replace(cfg.encoder, attn_scores_f32=False),
+            decoder=replace(cfg.decoder, attn_scores_f32=False),
+        )
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        model2 = SpeechT5Model(cfg2)
+        wav = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 4000)), jnp.float32)
+        lengths = jnp.asarray([4000, 2000])
+        e1 = model.apply(variables, wav, lengths, method="encode_speech")
+        e2 = model2.apply(variables, wav, lengths, method="encode_speech")
+        np.testing.assert_array_equal(
+            np.asarray(e1["encoder_out"]), np.asarray(e2["encoder_out"]))
