@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--tgt-len", type=int, default=60)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--override", action="append", default=[],
+                    help="dotted config override, e.g. "
+                         "encoder.attn_scores_f32=False (repeatable)")
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip forward segments; time only the train step")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +57,10 @@ def main():
 
     preset = speecht5_base if args.arch == "base" else speecht5_large
     cfg = preset(dtype="bfloat16")
+    if args.override:
+        from speecht5_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, args.override)
+        note(f"overrides: {args.override}")
     B, T = args.batch, int(args.secs * 16000)
     L = args.tgt_len
     T_enc = cfg.conv_features.out_length(T)
@@ -108,71 +117,74 @@ def main():
              f"({flops/seconds/peak*100:5.1f}% peak)")
 
     # ---- forward segments (deterministic; no masking) ----
-    def fe_step(w):
-        h = model.apply(
-            variables, w,
-            method=lambda m, x: m.speech_encoder_prenet.feature_extractor(x))
-        return w + h.astype(jnp.float32).mean() * 1e-6
+    fwd_time = None
+    if not args.train_only:
+        def fe_step(w):
+            h = model.apply(
+                variables, w,
+                method=lambda m, x: m.speech_encoder_prenet.feature_extractor(x))
+            return w + h.astype(jnp.float32).mean() * 1e-6
 
-    dt_fe = device_loop_time(fe_step, wav)
-    report("conv FE only", dt_fe, F.conv_frontend_flops(cfg, B, T))
+        dt_fe = device_loop_time(fe_step, wav)
+        report("conv FE only", dt_fe, F.conv_frontend_flops(cfg, B, T))
 
-    def conv_step(w):
-        h = model.apply(variables, w, wav_lengths, mask=False,
-                        deterministic=True, method="encode_speech")
-        return w + h["encoder_out"].astype(jnp.float32).mean() * 1e-6
+        def conv_step(w):
+            h = model.apply(variables, w, wav_lengths, mask=False,
+                            deterministic=True, method="encode_speech")
+            return w + h["encoder_out"].astype(jnp.float32).mean() * 1e-6
 
-    dt = device_loop_time(conv_step, wav)
-    c_fe = cfg.conv_features.layers[-1][0]
-    f_conv_enc = (F.conv_frontend_flops(cfg, B, T)
-                  + 2.0 * B * T_enc * c_fe * cfg.d_model
-                  + F.encoder_flops(cfg.encoder, B, T_enc))
-    report("prenet+encoder", dt, f_conv_enc)
+        dt = device_loop_time(conv_step, wav)
+        c_fe = cfg.conv_features.layers[-1][0]
+        f_conv_enc = (F.conv_frontend_flops(cfg, B, T)
+                      + 2.0 * B * T_enc * c_fe * cfg.d_model
+                      + F.encoder_flops(cfg.encoder, B, T_enc))
+        report("prenet+encoder", dt, f_conv_enc)
 
-    # encoder stack alone, on fixed prenet features
-    feats, feats_valid, _, _ = jax.jit(lambda v, w: model.apply(
-        v, w, wav_lengths, mask=False, deterministic=True,
-        method=lambda m, a, b: m.speech_encoder_prenet(
-            a, b, mask=False, deterministic=True)))(variables, wav)
-    jax.block_until_ready(feats)
+        # encoder stack alone, on fixed prenet features
+        feats, feats_valid, _, _ = jax.jit(lambda v, w: model.apply(
+            v, w, wav_lengths, mask=False, deterministic=True,
+            method=lambda m, a, b: m.speech_encoder_prenet(
+                a, b, mask=False, deterministic=True)))(variables, wav)
+        jax.block_until_ready(feats)
 
-    def encstack_step(h):
-        out = model.apply(
-            variables, h, feats_valid,
-            method=lambda m, a, b: m.encoder(a, b, deterministic=True))
-        return h + out["encoder_out"].astype(h.dtype).mean() * 1e-6
+        def encstack_step(h):
+            out = model.apply(
+                variables, h, feats_valid,
+                method=lambda m, a, b: m.encoder(a, b, deterministic=True))
+            return h + out["encoder_out"].astype(h.dtype).mean() * 1e-6
 
-    dt_es = device_loop_time(encstack_step, feats)
-    report("encoder stack", dt_es, F.encoder_flops(cfg.encoder, B, T_enc))
+        dt_es = device_loop_time(encstack_step, feats)
+        report("encoder stack", dt_es, F.encoder_flops(cfg.encoder, B, T_enc))
 
-    enc_out = jax.jit(lambda v, w: model.apply(
-        v, w, wav_lengths, mask=False, deterministic=True,
-        method="encode_speech"))(variables, wav)
-    jax.block_until_ready(enc_out)
+        enc_out = jax.jit(lambda v, w: model.apply(
+            v, w, wav_lengths, mask=False, deterministic=True,
+            method="encode_speech"))(variables, wav)
+        jax.block_until_ready(enc_out)
 
-    def _perturb(e, logits):
-        d = logits.astype(jnp.float32).mean() * 1e-6
-        return jax.tree_util.tree_map(
-            lambda a: a + d.astype(a.dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, e)
+        def _perturb(e, logits):
+            d = logits.astype(jnp.float32).mean() * 1e-6
+            return jax.tree_util.tree_map(
+                lambda a: a + d.astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, e)
 
-    def dec_step(e):
-        logits = model.apply(variables, e, prev, deterministic=True,
-                             method="decode_text")
-        return _perturb(e, logits)
+        def dec_step(e):
+            logits = model.apply(variables, e, prev, deterministic=True,
+                                 method="decode_text")
+            return _perturb(e, logits)
 
-    dt_dec = device_loop_time(dec_step, enc_out)
-    f_dec = (F.decoder_teacher_flops(cfg.decoder, B, L, T_enc)
-             + 2.0 * B * L * cfg.d_model * cfg.vocab_size)
-    report("decoder+logits", dt_dec, f_dec)
+        dt_dec = device_loop_time(dec_step, enc_out)
+        f_dec = (F.decoder_teacher_flops(cfg.decoder, B, L, T_enc)
+                 + 2.0 * B * L * cfg.d_model * cfg.vocab_size)
+        report("decoder+logits", dt_dec, f_dec)
 
-    def ctc_step(e):
-        logits = model.apply(variables, e, method="ctc_logits")
-        return _perturb(e, logits)
+        def ctc_step(e):
+            logits = model.apply(variables, e, method="ctc_logits")
+            return _perturb(e, logits)
 
-    dt_ctc = device_loop_time(ctc_step, enc_out)
-    report("ctc head", dt_ctc,
-           2.0 * B * T_enc * cfg.d_model * cfg.vocab_size)
+        dt_ctc = device_loop_time(ctc_step, enc_out)
+        report("ctc head", dt_ctc,
+               2.0 * B * T_enc * cfg.d_model * cfg.vocab_size)
+        fwd_time = dt + dt_dec + dt_ctc
 
     # ---- full train step (fwd+bwd+clip+adamw), fori_loop over steps ----
     tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
@@ -203,13 +215,14 @@ def main():
     f_step = F.s2t_train_flops(cfg, B, T, L)
     report("train step", dt_step, f_step)
 
-    fwd_time = dt + dt_dec + dt_ctc
     print(json.dumps({
         "metric": f"speecht5_{args.arch}_train_breakdown",
         "batch": B, "utt_secs": args.secs,
         "timing": "device fori_loop (dispatch-free)",
+        "overrides": args.override,
         "segments": rows,
-        "fwd_segments_ms": round(fwd_time * 1e3, 2),
+        "fwd_segments_ms": (round(fwd_time * 1e3, 2)
+                            if fwd_time is not None else None),
         "train_step_ms": round(dt_step * 1e3, 2),
         "train_mfu": round(f_step / dt_step / peak, 4),
     }), flush=True)
