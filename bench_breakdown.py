@@ -1,13 +1,22 @@
 """Per-segment timing of the SpeechT5 train step on one TPU chip.
 
 Times forward segments (conv FE+encoder / decoder / CTC head) and the FULL
-train step, each as N dependent iterations inside ONE jitted lax.fori_loop
-(the carry perturbs the next input, so iterations can't be CSE'd or
-memoized).  This measures pure device time: the remote-tunnel dispatch
-latency of this environment (~25-30 ms per call, measured) would otherwise
-dominate every sub-100 ms segment.
+train step against analytical FLOPs (utils/flops.py).
 
-Each segment is reported against its analytical FLOPs (utils/flops.py).
+Timing protocol (this environment's remote 'axon' backend):
+  - per-call dispatch costs ~25-50 ms, so sub-100 ms segments are timed as
+    K dependent iterations UNROLLED inside one jitted program (the carry
+    perturbs the next input, so iterations can't be CSE'd), chained over a
+    few dispatches;
+  - the full train step is timed as chained dispatches with donated state
+    (the dependency chain forces execution; the device step time exceeds
+    the dispatch cost, so dispatch pipelines behind the device);
+  - lax.fori_loop over train steps is NOT used: on this backend the same
+    step program wrapped in a fori_loop executes 24-100x slower with high
+    run-to-run variance (3.6-17.6 s/step vs 0.15 s chained — measured,
+    loop_probe.py shows plain matmul fori_loops run at full speed, so it
+    is specific to large loop bodies here).
+
 Evidence artifact for the profile-guided perf pass; the driver bench is
 bench.py.  Usage: python bench_breakdown.py [--arch base|large] [--batch N]
 """
@@ -33,7 +42,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--secs", type=float, default=10.0)
     ap.add_argument("--tgt-len", type=int, default=60)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="iterations unrolled per program for fwd segments")
+    ap.add_argument("--chain", type=int, default=3,
+                    help="chained dispatches per fwd segment measurement")
+    ap.add_argument("--steps", type=int, default=12,
+                    help="chained dispatches for the train-step measurement")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="grad-accum microbatches (scan inside the step)")
     ap.add_argument("--override", action="append", default=[],
                     help="dotted config override, e.g. "
                          "encoder.attn_scores_f32=False (repeatable)")
@@ -50,9 +66,7 @@ def main():
 
     from speecht5_tpu.config import speecht5_base, speecht5_large
     from speecht5_tpu.models.speecht5 import init_model
-    from speecht5_tpu.train.trainer import (
-        TrainConfig, TrainState, make_optimizer, make_train_step,
-    )
+    from speecht5_tpu.train.trainer import TrainConfig, Trainer
     from speecht5_tpu.utils import flops as F
 
     preset = speecht5_base if args.arch == "base" else speecht5_large
@@ -65,7 +79,6 @@ def main():
     L = args.tgt_len
     T_enc = cfg.conv_features.out_length(T)
     peak = F.chip_peak_flops()
-    ITERS = args.iters
 
     try:
         cpu = jax.local_devices(backend="cpu")[0]
@@ -84,23 +97,28 @@ def main():
     prev = jnp.asarray(rng.integers(4, cfg.vocab_size, (B, L)), jnp.int32)
 
     def device_loop_time(make_step, init_x):
-        """seconds/iter for ITERS dependent iterations in one program."""
-        @jax.jit
-        def run(x):
-            return jax.lax.fori_loop(
-                0, ITERS, lambda i, c: make_step(c), x)
+        """seconds/iter: UNROLL dependent iterations per program, CHAIN
+        dispatched programs (dependent), one host fence at the end."""
+        K, C = args.unroll, args.chain
 
-        r = run(init_x)
-        float(jnp.sum(jax.tree_util.tree_leaves(r)[0]
-                      .astype(jnp.float32).ravel()[:1][0]))  # warm + fence
+        @jax.jit
+        def prog(x):
+            for _ in range(K):
+                x = make_step(x)
+            return x
+
+        r = prog(init_x)
+        jax.block_until_ready(r)  # compile + warm
         fresh = jax.tree_util.tree_map(
             lambda a: a + jnp.asarray(1e-3, a.dtype)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, init_x)
         t0 = time.perf_counter()
-        r = run(fresh)
-        float(jnp.sum(jax.tree_util.tree_leaves(r)[0]
+        x = fresh
+        for _ in range(C):
+            x = prog(x)
+        float(jnp.sum(jax.tree_util.tree_leaves(x)[0]
                       .astype(jnp.float32).ravel()[:1][0]))
-        return (time.perf_counter() - t0) / ITERS
+        return (time.perf_counter() - t0) / (K * C)
 
     rows = []
 
@@ -186,39 +204,44 @@ def main():
                2.0 * B * T_enc * cfg.d_model * cfg.vocab_size)
         fwd_time = dt + dt_dec + dt_ctc
 
-    # ---- full train step (fwd+bwd+clip+adamw), fori_loop over steps ----
-    tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
-    tx = make_optimizer(tcfg)
-    step_fn = make_train_step(model, "s2t", tcfg)
-    params = variables["params"]
-    extra = {k: v for k, v in variables.items() if k != "params"}
-    state0 = TrainState(params, tx.init(params),
-                        jnp.zeros((), jnp.int32), extra)
-    batch = {
-        "wav": wav, "wav_lengths": wav_lengths, "prev_tokens": prev,
-        "targets": prev, "target_lengths": jnp.full((B,), L, jnp.int32),
-    }
+    # ---- full train step (fwd+bwd+clip+adamw), chained dispatch ----
+    tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5,
+                       accum_steps=args.accum)
+    trainer = Trainer(model, variables, "s2t", tcfg)
+    if args.accum > 1:
+        A = args.accum
+        Bm = max(B // A, 1)
+        batch = {
+            "wav": wav[: A * Bm].reshape(A, Bm, T),
+            "wav_lengths": jnp.full((A, Bm), T, jnp.int32),
+            "prev_tokens": prev[: A * Bm].reshape(A, Bm, L),
+            "targets": prev[: A * Bm].reshape(A, Bm, L),
+            "target_lengths": jnp.full((A, Bm), L, jnp.int32),
+        }
+    else:
+        batch = {
+            "wav": wav, "wav_lengths": wav_lengths, "prev_tokens": prev,
+            "targets": prev, "target_lengths": jnp.full((B,), L, jnp.int32),
+        }
 
-    @jax.jit
-    def run_steps(state, key):
-        def body(i, st):
-            st, m = step_fn(st, batch, jax.random.fold_in(key, i))
-            return st
-        return jax.lax.fori_loop(0, ITERS, body, state)
-
-    st = run_steps(state0, jax.random.PRNGKey(1))
-    float(st.step)  # warm + fence
+    key = jax.random.PRNGKey(1)
+    key, sub = jax.random.split(key)
+    m = trainer.train_step(batch, sub)
+    note(f"train step compiled, loss={float(m['loss']):.4f}")
     t0 = time.perf_counter()
-    st = run_steps(st, jax.random.PRNGKey(2))
-    float(st.step)
-    dt_step = (time.perf_counter() - t0) / ITERS
+    for _ in range(args.steps):
+        key, sub = jax.random.split(key)
+        m = trainer.train_step(batch, sub)
+    float(m["loss"])  # fence: drains the dependent chain
+    dt_step = (time.perf_counter() - t0) / args.steps
     f_step = F.s2t_train_flops(cfg, B, T, L)
     report("train step", dt_step, f_step)
 
     print(json.dumps({
         "metric": f"speecht5_{args.arch}_train_breakdown",
-        "batch": B, "utt_secs": args.secs,
-        "timing": "device fori_loop (dispatch-free)",
+        "batch": B, "utt_secs": args.secs, "accum": args.accum,
+        "timing": ("fwd: unrolled-in-jit chained; train: chained dispatch "
+                   "w/ donated state"),
         "overrides": args.override,
         "segments": rows,
         "fwd_segments_ms": (round(fwd_time * 1e3, 2)
