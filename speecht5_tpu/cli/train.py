@@ -178,6 +178,13 @@ def main(argv=None):
     p.add_argument("--ctc-weight", type=float, default=0.0)
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--guided-attn", action="store_true")
+    p.add_argument("--freeze-encoder-updates", type=int, default=0,
+                   help="freeze speech prenet + encoder (not the CTC head) "
+                        "for the first N updates (reference "
+                        "--freeze-encoder-updates)")
+    p.add_argument("--freeze-decoder-updates", type=int, default=0,
+                   help="freeze decoder + decoder pre/postnets for the "
+                        "first N updates")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--mask-prob", type=float, default=None,
                    help="override HuBERT masking prob (e.g. 0 to disable)")
@@ -280,6 +287,8 @@ def main(argv=None):
         accum_steps=args.accum, ce_weight=args.ce_weight,
         ctc_weight=args.ctc_weight, label_smoothing=args.label_smoothing,
         use_guided_attn=args.guided_attn, total_steps=args.max_updates,
+        freeze_encoder_updates=args.freeze_encoder_updates,
+        freeze_decoder_updates=args.freeze_decoder_updates,
     )
     multitask = isinstance(ds, dict)
     trainer = Trainer(

@@ -46,6 +46,15 @@ class TrainConfig:
     label_smoothing: float = 0.1
     dec_weight: float = 1.0
     use_guided_attn: bool = False
+    # freeze-for-N-updates fine-tuning (reference --freeze-encoder-updates /
+    # --freeze-decoder-updates): while step < N the frozen sub-nets keep
+    # their params AND optimizer moments unchanged, and contribute zero to
+    # the grad norm — the functional equivalent of the reference running
+    # them under torch.no_grad() (speech_encoder_prenet.py:151,
+    # encoder.py:164-168, transformer_layer.py:289-291).  The CTC head
+    # (encoder/proj) keeps training during an encoder freeze, as upstream.
+    freeze_encoder_updates: int = 0
+    freeze_decoder_updates: int = 0
 
 
 def make_schedule(cfg: TrainConfig):
@@ -218,6 +227,44 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
             "pretrain_text": pretrain_text}[task]
 
 
+# sub-nets covered by the reference freeze flags (param-tree top-level keys
+# of SpeechT5Model; other model families simply have no matching keys)
+_ENC_FREEZE_TOPS = ("speech_encoder_prenet",)
+_DEC_FREEZE_TOPS = (
+    "decoder", "speech_decoder_prenet", "speech_decoder_postnet",
+    "text_decoder_prenet", "text_decoder_postnet",
+)
+
+
+def _key_str(entry) -> str:
+    return getattr(entry, "key", getattr(entry, "name", str(entry)))
+
+
+def _freeze_horizons(params, cfg: TrainConfig):
+    """Per-leaf freeze horizon N (0 = never frozen), mirroring ``params``.
+
+    Encoder freeze covers the speech prenet and the shared encoder EXCEPT
+    its CTC projection (reference keeps the CTC head outside no_grad,
+    encoder.py:174-179); decoder freeze covers the shared decoder and all
+    four decoder pre/postnets (each carries its own freeze_decoder_updates
+    gate upstream)."""
+
+    def horizon(path, _leaf):
+        top = _key_str(path[0])
+        if cfg.freeze_encoder_updates:
+            if top in _ENC_FREEZE_TOPS:
+                return cfg.freeze_encoder_updates
+            if top == "encoder" and (
+                len(path) < 2 or _key_str(path[1]) != "proj"
+            ):
+                return cfg.freeze_encoder_updates
+        if cfg.freeze_decoder_updates and top in _DEC_FREEZE_TOPS:
+            return cfg.freeze_decoder_updates
+        return 0
+
+    return jax.tree_util.tree_map_with_path(horizon, params)
+
+
 def make_train_step(model, task: str, cfg: TrainConfig):
     """Returns pure (state, batch, rng) -> (state, metrics)."""
     tx = make_optimizer(cfg)
@@ -253,8 +300,49 @@ def make_train_step(model, task: str, cfg: TrainConfig):
                 compute, has_aux=True
             )(state.params)
 
+        horizons = _freeze_horizons(state.params, cfg)
+        freeze_on = any(jax.tree_util.tree_leaves(horizons))
+        if freeze_on:
+            # zero frozen grads BEFORE clip/update so they don't contribute
+            # to the grad norm (upstream: no_grad params produce no grads)
+            grads = jax.tree_util.tree_map(
+                lambda g, n: jnp.where(state.step < n, jnp.zeros_like(g), g)
+                if n else g,
+                grads, horizons,
+            )
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+
+        if freeze_on:
+            # keep frozen params and their Adam moments EXACTLY unchanged
+            # (zero grads alone would still apply weight decay and decay the
+            # moments); any opt-state subtree mirroring the param treedef is
+            # moment-like and gets the same selection
+            def select(new, old, n):
+                return jnp.where(state.step < n, old, new) if n else new
+
+            params = jax.tree_util.tree_map(
+                select, params, state.params, horizons
+            )
+            p_treedef = jax.tree_util.tree_structure(state.params)
+
+            def sel_opt(new_node, old_node):
+                if jax.tree_util.tree_structure(new_node) == p_treedef:
+                    return jax.tree_util.tree_map(
+                        select, new_node, old_node, horizons
+                    )
+                if isinstance(new_node, tuple):
+                    children = [
+                        sel_opt(a, b) for a, b in zip(new_node, old_node)
+                    ]
+                    if hasattr(new_node, "_fields"):  # optax NamedTuples
+                        return type(new_node)(*children)
+                    return tuple(children)
+                return new_node
+
+            opt_state = sel_opt(opt_state, state.opt_state)
+
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1, extra), metrics
