@@ -77,7 +77,10 @@ class ConvFeatureConfig:
     bias: bool = False
     # conv lowering for the strided middle layers: "xla" (conv_general_dilated)
     # or "polyphase" (k strided-slice matmuls — see prenets._PolyphaseConv).
-    # Parameters are identical either way.
+    # Parameters are identical either way.  "xla" wins in the full train
+    # step (150 vs 180 ms/step at base-ASR batch 16 on one v5e chip): the
+    # conv emitter's ~26%-of-peak microbenchmark is made up for by fusion
+    # with the surrounding elementwise ops, which the k-matmul form breaks.
     impl: str = "xla"
 
     @property
@@ -146,12 +149,15 @@ class TransformerConfig:
     # (jax.checkpoint via nn.remat; the reference's optional
     # checkpoint_wrapper, decoder.py:88-91).  Needed for Large training.
     remat: bool = False
-    # materialize attention logits (scores + rel-pos bias) in f32.  False
-    # keeps the [B, H, T, T] tensors in compute dtype — softmax still
-    # reduces in f32 — halving their HBM traffic under bf16.  The reference
-    # trains fp16 and also materializes scores in compute dtype (fairseq
-    # fp16 path), so False is the parity choice for bf16 training.
-    attn_scores_f32: bool = True
+    # materialize attention logits (scores + rel-pos bias) in f32.  The
+    # default False keeps the [B, H, T, T] tensors in compute dtype —
+    # softmax still reduces in f32 — halving their HBM traffic under bf16:
+    # measured 143 vs 150 ms/step (+5%) at base-ASR batch 16 on one v5e
+    # chip, and it unlocks batch 24/32 (f32 scores OOM at 32).  The
+    # reference trains fp16 and also materializes scores in compute dtype
+    # (fairseq fp16 path), so False is also the parity choice.  No effect
+    # when the compute dtype is f32.
+    attn_scores_f32: bool = False
     # use the Pallas fused attention kernel with in-kernel banded rel-pos
     # bias for full (non-causal, uncached) self-attention at inference.
     # Forward-only (no custom VJP), so it engages only on deterministic

@@ -297,11 +297,11 @@ class TestConvLowering:
         from dataclasses import replace
         from speecht5_tpu.config import speecht5_tiny
 
-        cfg = speecht5_tiny()
+        cfg = speecht5_tiny()  # default attn_scores_f32=False
         cfg2 = replace(
             cfg,
-            encoder=replace(cfg.encoder, attn_scores_f32=False),
-            decoder=replace(cfg.decoder, attn_scores_f32=False),
+            encoder=replace(cfg.encoder, attn_scores_f32=True),
+            decoder=replace(cfg.decoder, attn_scores_f32=True),
         )
         model, variables = init_model(cfg, jax.random.PRNGKey(0))
         model2 = SpeechT5Model(cfg2)
