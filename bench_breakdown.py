@@ -98,16 +98,25 @@ def main():
 
     def device_loop_time(make_step, init_x):
         """seconds/iter: UNROLL dependent iterations per program, CHAIN
-        dispatched programs (dependent), one host fence at the end."""
+        dispatched programs (dependent), one host fence at the end.
+
+        ``make_step(variables, x) -> x``: the params are a jit ARGUMENT —
+        closing over them would bake ~650 MB of literal constants into the
+        unrolled HLO, which the remote-compile endpoint rejects (HTTP 413).
+
+        Caveat: segments measured as standalone programs can be slower
+        than the same ops inside the full train step (XLA picks different
+        layouts/fusions in context) — treat them as relative guidance; the
+        train-step row is the trustworthy absolute number."""
         K, C = args.unroll, args.chain
 
         @jax.jit
-        def prog(x):
+        def prog(v, x):
             for _ in range(K):
-                x = make_step(x)
+                x = make_step(v, x)
             return x
 
-        r = prog(init_x)
+        r = prog(variables, init_x)
         jax.block_until_ready(r)  # compile + warm
         fresh = jax.tree_util.tree_map(
             lambda a: a + jnp.asarray(1e-3, a.dtype)
@@ -115,7 +124,7 @@ def main():
         t0 = time.perf_counter()
         x = fresh
         for _ in range(C):
-            x = prog(x)
+            x = prog(variables, x)
         float(jnp.sum(jax.tree_util.tree_leaves(x)[0]
                       .astype(jnp.float32).ravel()[:1][0]))
         return (time.perf_counter() - t0) / (K * C)
@@ -137,17 +146,17 @@ def main():
     # ---- forward segments (deterministic; no masking) ----
     fwd_time = None
     if not args.train_only:
-        def fe_step(w):
+        def fe_step(v, w):
             h = model.apply(
-                variables, w,
+                v, w,
                 method=lambda m, x: m.speech_encoder_prenet.feature_extractor(x))
             return w + h.astype(jnp.float32).mean() * 1e-6
 
         dt_fe = device_loop_time(fe_step, wav)
         report("conv FE only", dt_fe, F.conv_frontend_flops(cfg, B, T))
 
-        def conv_step(w):
-            h = model.apply(variables, w, wav_lengths, mask=False,
+        def conv_step(v, w):
+            h = model.apply(v, w, wav_lengths, mask=False,
                             deterministic=True, method="encode_speech")
             return w + h["encoder_out"].astype(jnp.float32).mean() * 1e-6
 
@@ -165,9 +174,9 @@ def main():
                 a, b, mask=False, deterministic=True)))(variables, wav)
         jax.block_until_ready(feats)
 
-        def encstack_step(h):
+        def encstack_step(v, h):
             out = model.apply(
-                variables, h, feats_valid,
+                v, h, feats_valid,
                 method=lambda m, a, b: m.encoder(a, b, deterministic=True))
             return h + out["encoder_out"].astype(h.dtype).mean() * 1e-6
 
@@ -185,8 +194,8 @@ def main():
                 lambda a: a + d.astype(a.dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, e)
 
-        def dec_step(e):
-            logits = model.apply(variables, e, prev, deterministic=True,
+        def dec_step(v, e):
+            logits = model.apply(v, e, prev, deterministic=True,
                                  method="decode_text")
             return _perturb(e, logits)
 
@@ -195,8 +204,8 @@ def main():
                  + 2.0 * B * L * cfg.d_model * cfg.vocab_size)
         report("decoder+logits", dt_dec, f_dec)
 
-        def ctc_step(e):
-            logits = model.apply(variables, e, method="ctc_logits")
+        def ctc_step(v, e):
+            logits = model.apply(v, e, method="ctc_logits")
             return _perturb(e, logits)
 
         dt_ctc = device_loop_time(ctc_step, enc_out)

@@ -185,6 +185,10 @@ def main(argv=None):
     p.add_argument("--freeze-decoder-updates", type=int, default=0,
                    help="freeze decoder + decoder pre/postnets for the "
                         "first N updates")
+    p.add_argument("--no-freeze-encoder-layers", default="",
+                   help="comma-separated encoder layer indices exempt from "
+                        "the encoder freeze (reference "
+                        "--no-freeze-encoder-layer)")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--mask-prob", type=float, default=None,
                    help="override HuBERT masking prob (e.g. 0 to disable)")
@@ -289,6 +293,9 @@ def main(argv=None):
         use_guided_attn=args.guided_attn, total_steps=args.max_updates,
         freeze_encoder_updates=args.freeze_encoder_updates,
         freeze_decoder_updates=args.freeze_decoder_updates,
+        no_freeze_encoder_layers=tuple(
+            int(i) for i in args.no_freeze_encoder_layers.split(",") if i
+        ),
     )
     multitask = isinstance(ds, dict)
     trainer = Trainer(

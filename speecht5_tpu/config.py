@@ -346,16 +346,22 @@ def speecht5_base(**kw) -> SpeechT5Config:
 
 
 def speecht5_large(**kw) -> SpeechT5Config:
-    """t5_transformer_large (reference speecht5.py:1402-1425)."""
+    """t5_transformer_large (reference speecht5.py:1402-1425).
+
+    remat defaults OFF, matching the reference (fairseq
+    --checkpoint-activations is opt-in, decoder.py:88-91) and measured 38%
+    faster when the batch fits: 253 vs 408 ms/step at batch 8 x 10 s on one
+    v5e chip (bf16 attention scores).  Enable via
+    --override encoder.remat=True decoder.remat=True for bigger batches or
+    longer audio."""
     enc = TransformerConfig(
         d_model=1024, ffn_dim=4096, num_layers=24, num_heads=16,
         dropout=0.0, attention_dropout=0.0, layer_norm_first=True,
-        remat=True,
     )
     dec = TransformerConfig(
         d_model=1024, ffn_dim=4096, num_layers=6, num_heads=16,
         dropout=0.0, attention_dropout=0.0, layer_norm_first=True,
-        use_rel_pos_bias=False, remat=True,
+        use_rel_pos_bias=False,
     )
     cfg = SpeechT5Config(
         encoder=enc,

@@ -51,6 +51,7 @@ class ASRDecoder:
         suppress_ids: tuple = (),
         no_repeat_ngram_size: int = 0,
         encode_method: str = "encode_speech",
+        cache_reorder: str = "ancestry",
     ):
         """``encode_method``: model method producing {encoder_out, valid_mask
         [, ctc_logits]} — e.g. "encode_speech" (ASR/ST), "encode_text"
@@ -61,7 +62,16 @@ class ASRDecoder:
         (an ensemble of same-architecture checkpoints): decoder log-probs are
         averaged in probability space (logsumexp - log M) and CTC posteriors
         come from the first model, matching the reference EnsembleModel
-        (reference sequence_generator.py:819-961, :273-277, :928-934)."""
+        (reference sequence_generator.py:819-961, :273-277, :928-934).
+
+        ``cache_reorder``: "ancestry" (default) keeps the self-attn KV
+        caches unpermuted across beam reorders and shuffles an [N, L+1]
+        int32 ancestor map instead, which attention uses to index the
+        cache — the per-step gather of the full caches was ~73%% of the
+        AR-step cost at L=170 (bench_decode_breakdown.py).  "gather"
+        physically reorders the caches each step (the fairseq
+        reorder_incremental_state semantics, and the fallback if a model
+        lacks cache_rows support)."""
         self.model = model
         self.variables = (
             tuple(variables) if isinstance(variables, (list, tuple))
@@ -80,6 +90,9 @@ class ASRDecoder:
         self.suppress_ids = tuple(suppress_ids)
         self.no_repeat_ngram_size = no_repeat_ngram_size
         self.encode_method = encode_method
+        if cache_reorder not in ("ancestry", "gather"):
+            raise ValueError(f"cache_reorder: {cache_reorder!r}")
+        self.cache_reorder = cache_reorder
         self.ctc_beam = max(2, int(beam_size * CTC_SCORING_RATIO))
         self._decode = jax.jit(self._decode_impl, static_argnames=("batch_size",))
 
@@ -104,6 +117,7 @@ class ASRDecoder:
         cannot prove that — keeping them in the state cost ~400MB of HBM
         traffic per step at base-ASR shapes."""
         cfg = self.cfg
+        rows = state.get("anc") if self.cache_reorder == "ancestry" else None
         atts, new_caches = [], []
         for i, v in enumerate(variables):
             cache = {
@@ -113,7 +127,8 @@ class ASRDecoder:
             }
             logits, cache = self.model.apply(
                 v, toks_t, cache,
-                enc_valid=consts["enc_valid"], method="text_decode_step",
+                enc_valid=consts["enc_valid"], cache_rows=rows,
+                method="text_decode_step",
             )
             atts.append(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
             new_caches.append(
@@ -242,6 +257,7 @@ class ASRDecoder:
                 lm_variables, N, self.max_len + 1, method="init_cache"
             )
 
+        ancestry = self.cache_reorder == "ancestry"
         return beam_search(
             functools.partial(self._step, variables, lm_variables, consts),
             state,
@@ -254,6 +270,8 @@ class ASRDecoder:
             min_len=self.min_len,
             select_fn=functools.partial(self._select, variables, consts),
             no_repeat_ngram_size=self.no_repeat_ngram_size,
+            gather_exempt_keys=("cache",) if ancestry else (),
+            ancestry_key="anc" if ancestry else None,
         )
 
     def __call__(self, *enc_args) -> BeamResult:

@@ -139,6 +139,12 @@ class MultiheadAttention(nn.Module):
         max_dist: int = 0,
         cache: Optional[dict] = None,   # {"k","v": [B, Tmax, H, Dh]} self-attn decode
         cache_index=None,         # scalar int: write position for this step
+        cache_rows=None,          # int [B, Tmax]: ancestry map for gather-free
+        #                           beam reorder — cache_rows[b, j] is the
+        #                           physical row whose position-j K/V belong
+        #                           to logical row b (cache buffers are never
+        #                           permuted; the beam loop shuffles this map
+        #                           instead of the buffers)
         cross_kv: Optional[dict] = None,  # precomputed {"k","v"} for cross-attn decode
         deterministic: bool = True,
         return_weights: bool = False,
@@ -202,6 +208,17 @@ class MultiheadAttention(nn.Module):
                     cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
                 )
                 new_cache = {"k": k, "v": v}
+                if cache_rows is not None:
+                    # ancestry-indexed view for attention (the returned cache
+                    # stays unpermuted): one flattened leading-axis gather of
+                    # (row, position) pairs — contiguous H*Dh blocks
+                    Tc = k.shape[1]
+                    flat = (
+                        cache_rows.astype(jnp.int32) * Tc
+                        + jnp.arange(Tc, dtype=jnp.int32)[None, :]
+                    ).reshape(-1)
+                    k = k.reshape(B * Tc, H, Dh)[flat].reshape(B, Tc, H, Dh)
+                    v = v.reshape(B * Tc, H, Dh)[flat].reshape(B, Tc, H, Dh)
 
         Tk = k.shape[1]
 

@@ -122,6 +122,8 @@ class TransformerDecoder(nn.Module):
         self_valid=None,       # bool [B, max_len]: attendable cache positions
         deterministic: bool = True,
         need_cross_weights: bool = False,
+        cache_rows=None,       # int [B, max_len]: ancestry map (gather-free
+        #                        beam reorder — see MultiheadAttention)
     ):
         """One AR step.  x: [B, 1, D] prenet output for the current position.
 
@@ -141,7 +143,7 @@ class TransformerDecoder(nn.Module):
             x, w, new_self = layer(
                 x, None, enc_valid, self_valid, True, pos_table,
                 cache["layers"][i], cache["cross"][i], idx,
-                deterministic, need_cross_weights,
+                deterministic, need_cross_weights, cache_rows=cache_rows,
             )
             new_layers.append(new_self)
             if need_cross_weights and w is not None:

@@ -170,9 +170,11 @@ class DecoderLayer(nn.Module):
         cache_index=None,
         deterministic: bool = True,
         need_cross_weights: bool = False,
+        cache_rows=None,           # ancestry map for gather-free beam reorder
     ):
         # positional-or-keyword so nn.remat(static_argnums=(5, 10, 11)) can
         # mark causal/deterministic/need_cross_weights static
+        # (cache_rows is keyword-only in practice: decode paths never remat)
         cfg = self.cfg
         use_pos = cfg.use_rel_pos_bias and pos_table is not None
 
@@ -190,6 +192,7 @@ class DecoderLayer(nn.Module):
             max_dist=cfg.rel_pos.max_distance,
             cache=self_cache,
             cache_index=cache_index,
+            cache_rows=cache_rows,
             deterministic=deterministic,
         )
         x = residual + self.drop(y, deterministic=deterministic)

@@ -202,11 +202,12 @@ class SpeechT5Model(nn.Module):
     def init_text_cache(self, enc, batch_size: int, max_len: int):
         return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
 
-    def text_decode_step(self, tokens_t, cache, *, enc_valid=None):
+    def text_decode_step(self, tokens_t, cache, *, enc_valid=None,
+                         cache_rows=None):
         """tokens_t: [B, 1] -> (logits [B, V], new_cache)."""
         x = self.text_decoder_prenet.step(tokens_t, cache["index"])
         feats, new_cache, _ = self.decoder.decode_step(
-            x, cache, enc_valid=enc_valid
+            x, cache, enc_valid=enc_valid, cache_rows=cache_rows
         )
         return self._text_logits(feats)[:, 0], new_cache
 

@@ -55,6 +55,12 @@ class TrainConfig:
     # (encoder/proj) keeps training during an encoder freeze, as upstream.
     freeze_encoder_updates: int = 0
     freeze_decoder_updates: int = 0
+    # encoder layer indices EXEMPT from the encoder freeze (reference
+    # --no-freeze-encoder-layer, encoder.py:82-83,254: with the list set,
+    # the freeze applies per-layer and the listed layers keep training;
+    # the speech prenet stays frozen — it gates on its own copy of
+    # freeze_encoder_updates, speech_encoder_prenet.py:151)
+    no_freeze_encoder_layers: tuple = ()
 
 
 def make_schedule(cfg: TrainConfig):
@@ -249,15 +255,17 @@ def _freeze_horizons(params, cfg: TrainConfig):
     four decoder pre/postnets (each carries its own freeze_decoder_updates
     gate upstream)."""
 
+    exempt = {f"layers_{i}" for i in cfg.no_freeze_encoder_layers}
+
     def horizon(path, _leaf):
         top = _key_str(path[0])
         if cfg.freeze_encoder_updates:
             if top in _ENC_FREEZE_TOPS:
                 return cfg.freeze_encoder_updates
-            if top == "encoder" and (
-                len(path) < 2 or _key_str(path[1]) != "proj"
-            ):
-                return cfg.freeze_encoder_updates
+            if top == "encoder" and len(path) >= 2:
+                second = _key_str(path[1])
+                if second != "proj" and second not in exempt:
+                    return cfg.freeze_encoder_updates
         if cfg.freeze_decoder_updates and top in _DEC_FREEZE_TOPS:
             return cfg.freeze_decoder_updates
         return 0

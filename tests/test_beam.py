@@ -184,3 +184,46 @@ class TestEnsembleDecode:
         res = dec(wav, lengths)
         assert np.isfinite(np.asarray(res.scores)).all()
         assert (np.asarray(res.lengths) >= 1).all()
+
+
+class TestAncestryCacheReorder:
+    """Gather-free beam cache: keeping the KV caches unpermuted and indexing
+    them through the ancestor map must decode EXACTLY like physically
+    gathering the caches each step (the attention matmul consumes the same
+    values in the same order either way)."""
+
+    def test_ancestry_matches_gather(self):
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.speecht5 import init_model
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg = speecht5_tiny()
+        model, v = init_model(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        wav = jnp.asarray(rng.standard_normal((3, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 2500, 3000])
+        kw = dict(beam_size=4, max_len=12, ctc_weight=0.3, min_len=3)
+        a = ASRDecoder(model, v, cache_reorder="gather", **kw)(wav, lengths)
+        b = ASRDecoder(model, v, cache_reorder="ancestry", **kw)(wav, lengths)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        np.testing.assert_array_equal(
+            np.asarray(a.lengths), np.asarray(b.lengths))
+        np.testing.assert_allclose(
+            np.asarray(a.scores), np.asarray(b.scores), atol=1e-5, rtol=1e-5)
+
+    def test_ancestry_no_ctc(self):
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.speecht5 import init_model
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg = speecht5_tiny()
+        model, v = init_model(cfg, jax.random.PRNGKey(2))
+        rng = np.random.default_rng(3)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 4000])
+        kw = dict(beam_size=3, max_len=10, ctc_weight=0.0)
+        a = ASRDecoder(model, v, cache_reorder="gather", **kw)(wav, lengths)
+        b = ASRDecoder(model, v, cache_reorder="ancestry", **kw)(wav, lengths)
+        np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+        np.testing.assert_allclose(
+            np.asarray(a.scores), np.asarray(b.scores), atol=1e-5, rtol=1e-5)

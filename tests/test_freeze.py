@@ -109,6 +109,28 @@ class TestFreezeUpdates:
         # encoder side unaffected by a decoder freeze
         assert _max_abs_delta(p0["encoder"], p1["encoder"]) > 0.0
 
+    def test_no_freeze_encoder_layers_exemption(self):
+        """reference --no-freeze-encoder-layer: listed encoder layers keep
+        training during the freeze window; the rest (and the prenet) stay
+        frozen (encoder.py:82-83,254)."""
+        cfg = speecht5_tiny()
+        model, variables = init_model(cfg, jax.random.PRNGKey(0))
+        tcfg = TrainConfig(
+            lr=1e-3, warmup_steps=1, ctc_weight=0.5,
+            freeze_encoder_updates=1, no_freeze_encoder_layers=(1,),
+        )
+        step_fn = jax.jit(make_train_step(model, "s2t", tcfg))
+        state = _state(model, variables, tcfg)
+        batch = _batch(np.random.default_rng(3), 2, vocab=cfg.vocab_size)
+        s1, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+        p0, p1 = state.params, s1.params
+        assert _max_abs_delta(p0["encoder"]["layers_1"],
+                              p1["encoder"]["layers_1"]) > 0.0
+        assert _max_abs_delta(p0["encoder"]["layers_0"],
+                              p1["encoder"]["layers_0"]) == 0.0
+        assert _max_abs_delta(p0["speech_encoder_prenet"],
+                              p1["speech_encoder_prenet"]) == 0.0
+
     def test_no_freeze_is_default(self):
         cfg = speecht5_tiny()
         model, variables = init_model(cfg, jax.random.PRNGKey(0))
