@@ -169,7 +169,7 @@ def main():
 
         # encoder stack alone, on fixed prenet features
         feats, feats_valid, _, _ = jax.jit(lambda v, w: model.apply(
-            v, w, wav_lengths, mask=False, deterministic=True,
+            v, w, wav_lengths,
             method=lambda m, a, b: m.speech_encoder_prenet(
                 a, b, mask=False, deterministic=True)))(variables, wav)
         jax.block_until_ready(feats)

@@ -88,9 +88,11 @@ class Speech2CModel(nn.Module):
     def init_text_cache(self, enc, batch_size: int, max_len: int):
         return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
 
-    def text_decode_step(self, tokens_t, cache, *, enc_valid=None):
+    def text_decode_step(self, tokens_t, cache, *, enc_valid=None,
+                         cache_rows=None):
         x = self.text_decoder_prenet.step(tokens_t, cache["index"])
-        feats, new_cache, _ = self.decoder.decode_step(x, cache, enc_valid=enc_valid)
+        feats, new_cache, _ = self.decoder.decode_step(
+            x, cache, enc_valid=enc_valid, cache_rows=cache_rows)
         return self.text_decoder_postnet(feats)[:, 0], new_cache
 
     def forward_pretrain(self, wav, wav_lengths, code_prev, *, deterministic=False):

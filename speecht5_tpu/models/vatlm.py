@@ -326,7 +326,8 @@ class VATLMModel(nn.Module):
     def init_text_cache(self, enc, batch_size: int, max_len: int):
         return self.decoder.init_cache(enc["encoder_out"], batch_size, max_len)
 
-    def text_decode_step(self, tokens_t, cache, *, enc_valid=None):
+    def text_decode_step(self, tokens_t, cache, *, enc_valid=None,
+                         cache_rows=None):
         cfg = self.cfg
         x = self.embed_tokens(tokens_t).astype(cfg.compute_dtype)
         table = jnp.asarray(fairseq_sinusoidal_table(
@@ -334,7 +335,7 @@ class VATLMModel(nn.Module):
         ))
         x = x + table[cfg.pad_id + 1 + cache["index"]][None, None, :].astype(x.dtype)
         feats, new_cache, _ = self.decoder.decode_step(
-            x, cache, enc_valid=enc_valid
+            x, cache, enc_valid=enc_valid, cache_rows=cache_rows
         )
         logits = feats.astype(jnp.float32) @ self.embed_tokens.embedding.T.astype(
             jnp.float32
