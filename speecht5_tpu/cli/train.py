@@ -176,6 +176,9 @@ def main(argv=None):
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--ce-weight", type=float, default=1.0)
     p.add_argument("--ctc-weight", type=float, default=0.0)
+    p.add_argument("--zero-infinity", action="store_true",
+                   help="zero CTC loss for infeasible alignments "
+                        "(reference --zero-infinity, README.md:178)")
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--guided-attn", action="store_true")
     p.add_argument("--freeze-encoder-updates", type=int, default=0,
@@ -289,7 +292,8 @@ def main(argv=None):
     tcfg = TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_norm=args.clip_norm,
         accum_steps=args.accum, ce_weight=args.ce_weight,
-        ctc_weight=args.ctc_weight, label_smoothing=args.label_smoothing,
+        ctc_weight=args.ctc_weight, zero_infinity=args.zero_infinity,
+        label_smoothing=args.label_smoothing,
         use_guided_attn=args.guided_attn, total_steps=args.max_updates,
         freeze_encoder_updates=args.freeze_encoder_updates,
         freeze_decoder_updates=args.freeze_decoder_updates,

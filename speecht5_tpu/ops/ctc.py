@@ -21,8 +21,15 @@ def ctc_loss(
     labels,          # [B, L] target ids (padding arbitrary beyond label_lengths)
     label_lengths,   # [B]
     blank_id: int = 0,
+    zero_infinity: bool = False,
 ):
-    """Per-sample negative log likelihood [B] (sum reduction over frames)."""
+    """Per-sample negative log likelihood [B] (sum reduction over frames).
+
+    ``zero_infinity``: zero the loss (and its gradient) for samples whose
+    alignment is infeasible (too few frames for the labels), matching
+    ``torch.nn.functional.ctc_loss(zero_infinity=True)`` — the reference ASR
+    fine-tune recipe passes ``--zero-infinity``
+    (reference SpeechT5/README.md:178, speech_to_text_loss.py:326-335)."""
     B, T, V = log_probs.shape
     L = labels.shape[1]
     S = 2 * L + 1
@@ -76,4 +83,9 @@ def ctc_loss(
     )[:, 0]
     a_end1 = jnp.where(label_lengths > 0, a_end1, NEG)
     ll = jnp.logaddexp(a_end, a_end1)
-    return -ll
+    nll = -ll
+    if zero_infinity:
+        # infeasible alignments surface as nll ~ -NEG (1e30); a feasible
+        # sample can't come within 20 orders of magnitude of that
+        nll = jnp.where(nll >= -0.25 * NEG, 0.0, nll)
+    return nll

@@ -55,6 +55,7 @@ def s2t_loss(
     ce_weight: float = 1.0,
     ctc_weight: float = 0.0,
     label_smoothing: float = 0.1,
+    zero_infinity: bool = False,
 ):
     valid = targets != pad_id
     metrics = {}
@@ -73,7 +74,8 @@ def s2t_loss(
         enc_lengths = enc_valid.astype(jnp.int32).sum(-1)
         # CTC target = tokens without EOS
         tgt_lengths = (valid & (targets != eos_id)).astype(jnp.int32).sum(-1)
-        nll_ctc = ctc_loss(lp, enc_lengths, targets, tgt_lengths, blank_id)
+        nll_ctc = ctc_loss(lp, enc_lengths, targets, tgt_lengths, blank_id,
+                           zero_infinity=zero_infinity)
         ctc = nll_ctc.sum() / jnp.maximum(tgt_lengths.sum(), 1)
         loss = loss + ctc_weight * ctc
         metrics["ctc_loss"] = ctc

@@ -35,6 +35,8 @@ class JointLossConfig:
     label_smoothing: float = 0.1
     pred_masked_weight: float = 1.0
     pred_nomask_weight: float = 0.0
+    # reference ctc_ce.py zero_infinity (configurable there too)
+    zero_infinity: bool = False
 
 
 def make_speechlm_joint_loss(model, jcfg: JointLossConfig):
@@ -105,7 +107,8 @@ def make_speechlm_joint_loss(model, jcfg: JointLossConfig):
                 in_lengths = t_out["valid_mask"].astype(jnp.int32).sum(-1)
                 ct = tx["char_targets"]
                 ct_lengths = (ct != mcfg.pad_id).astype(jnp.int32).sum(-1)
-                nll = ctc_loss(lp, in_lengths, ct, ct_lengths, 0)
+                nll = ctc_loss(lp, in_lengths, ct, ct_lengths, 0,
+                               zero_infinity=jcfg.zero_infinity)
                 tsize = jnp.maximum(ct_lengths.sum(), 1)
                 ctc = nll.sum() / tsize
                 loss = loss + jcfg.u2t_ctc_weight * ctc * (sample_size / tsize)
@@ -189,7 +192,8 @@ def make_speechut_joint_loss(model, jcfg: JointLossConfig):
                 from ..ops.ctc import ctc_loss
 
                 nll_ctc = ctc_loss(
-                    lp, in_lengths, tp["targets"], tgt_lengths, mcfg.blank_id
+                    lp, in_lengths, tp["targets"], tgt_lengths, mcfg.blank_id,
+                    zero_infinity=jcfg.zero_infinity,
                 )
                 ctc = nll_ctc.sum() / text_sample_size
                 loss = loss + jcfg.u2t_ctc_weight * ctc * scale

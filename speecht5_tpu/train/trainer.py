@@ -43,6 +43,9 @@ class TrainConfig:
     # criterion weights
     ce_weight: float = 1.0
     ctc_weight: float = 0.0
+    # reference --zero-infinity (SpeechT5/README.md:178): zero CTC loss for
+    # samples with infeasible alignments instead of poisoning the step
+    zero_infinity: bool = False
     label_smoothing: float = 0.1
     dec_weight: float = 1.0
     use_guided_attn: bool = False
@@ -129,6 +132,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
             mcfg.pad_id, mcfg.blank_id, eos_id=mcfg.eos_id,
             ce_weight=cfg.ce_weight, ctc_weight=cfg.ctc_weight,
             label_smoothing=cfg.label_smoothing,
+            zero_infinity=cfg.zero_infinity,
         )
         return loss, (metrics, extra)
 
