@@ -52,6 +52,7 @@ class ASRDecoder:
         no_repeat_ngram_size: int = 0,
         encode_method: str = "encode_speech",
         cache_reorder: str = "ancestry",
+        steps_per_iter: int = 4,
     ):
         """``encode_method``: model method producing {encoder_out, valid_mask
         [, ctc_logits]} — e.g. "encode_speech" (ASR/ST), "encode_text"
@@ -93,6 +94,9 @@ class ASRDecoder:
         if cache_reorder not in ("ancestry", "gather"):
             raise ValueError(f"cache_reorder: {cache_reorder!r}")
         self.cache_reorder = cache_reorder
+        if steps_per_iter < 1:
+            raise ValueError(f"steps_per_iter: {steps_per_iter}")
+        self.steps_per_iter = steps_per_iter
         self.ctc_beam = max(2, int(beam_size * CTC_SCORING_RATIO))
         self._decode = jax.jit(self._decode_impl, static_argnames=("batch_size",))
 
@@ -272,6 +276,7 @@ class ASRDecoder:
             no_repeat_ngram_size=self.no_repeat_ngram_size,
             gather_exempt_keys=("cache",) if ancestry else (),
             ancestry_key="anc" if ancestry else None,
+            steps_per_iter=self.steps_per_iter,
         )
 
     def __call__(self, *enc_args) -> BeamResult:

@@ -97,6 +97,7 @@ def beam_search(
     no_repeat_ngram_size: int = 0,
     gather_exempt_keys: tuple = (),
     ancestry_key: Optional[str] = None,
+    steps_per_iter: int = 1,
 ) -> BeamResult:
     """Run beam search; all shapes static, whole loop jittable.
 
@@ -109,7 +110,14 @@ def beam_search(
     model so attention reads the unpermuted caches through it; shuffling
     this ~L*N*4-byte map replaces gathering hundreds of MB of cache per
     step (measured: the reorder gather + re-read was ~73%% of the per-step
-    cost at base-ASR batch 32, beam 5, L=170)."""
+    cost at base-ASR batch 32, beam 5, L=170).
+
+    ``steps_per_iter``: decode steps executed per while_loop iteration, each
+    guarded by the loop condition (an exact semantic no-op — the guard is
+    re-evaluated before every sub-step, so results are identical for any
+    value).  On backends whose loop iterations carry a fixed overhead this
+    amortizes it; extra guarded steps after termination cost one skipped
+    cond-branch each."""
     B, K, V = batch_size, beam_size, vocab_size
     N = B * K
     L = max_len
@@ -263,7 +271,15 @@ def beam_search(
             fin_lens=fin_lens,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    if steps_per_iter > 1:
+        def body_k(s: BeamState) -> BeamState:
+            for _ in range(steps_per_iter):
+                s = jax.lax.cond(cond(s), body, lambda x: x, s)
+            return s
+
+        final = jax.lax.while_loop(cond, body_k, init)
+    else:
+        final = jax.lax.while_loop(cond, body, init)
 
     # if nothing finished (degenerate), fall back to alive beams
     denom = jnp.maximum(final.step, 1).astype(jnp.float32) ** length_penalty

@@ -227,3 +227,31 @@ class TestAncestryCacheReorder:
         np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
         np.testing.assert_allclose(
             np.asarray(a.scores), np.asarray(b.scores), atol=1e-5, rtol=1e-5)
+
+
+class TestStepsPerIter:
+    def test_unrolled_matches_single(self):
+        """steps_per_iter unrolls K cond-guarded decode steps per while_loop
+        iteration (amortizing per-iteration backend overhead); every value
+        must produce bit-identical tokens/lengths and equal scores, including
+        max_len not divisible by the unroll factor."""
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.speecht5 import init_model
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg = speecht5_tiny()
+        model, v = init_model(cfg, jax.random.PRNGKey(4))
+        rng = np.random.default_rng(5)
+        wav = jnp.asarray(rng.standard_normal((3, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 2500, 3000])
+        kw = dict(beam_size=4, max_len=13, ctc_weight=0.3, min_len=3)
+        ref = ASRDecoder(model, v, steps_per_iter=1, **kw)(wav, lengths)
+        for k in (3, 4):
+            got = ASRDecoder(model, v, steps_per_iter=k, **kw)(wav, lengths)
+            np.testing.assert_array_equal(
+                np.asarray(ref.tokens), np.asarray(got.tokens))
+            np.testing.assert_array_equal(
+                np.asarray(ref.lengths), np.asarray(got.lengths))
+            np.testing.assert_allclose(
+                np.asarray(ref.scores), np.asarray(got.scores),
+                atol=1e-5, rtol=1e-5)
