@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""SpeechUT joint pretraining: JointCorpusLoader + make_speechut_joint_loss.
+"""SpeechUT joint pretraining: MultiCorpusLoader + make_speechut_joint_loss.
 
 Runnable end-to-end example (tiny config, synthetic corpora) of the
 SpeechUT/Speech2S pretraining recipe: every optimizer update consumes a

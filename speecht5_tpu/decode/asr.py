@@ -121,7 +121,10 @@ class ASRDecoder:
         cannot prove that — keeping them in the state cost ~400MB of HBM
         traffic per step at base-ASR shapes."""
         cfg = self.cfg
-        rows = state.get("anc") if self.cache_reorder == "ancestry" else None
+        # hard KeyError if the ancestry-map wiring with beam_search ever
+        # diverges — a silent None here would leave the cache gather-exempt
+        # and produce wrong decodes with no error (ADVICE r2)
+        rows = state["anc"] if self.cache_reorder == "ancestry" else None
         atts, new_caches = [], []
         for i, v in enumerate(variables):
             cache = {
