@@ -26,8 +26,17 @@ def _ocp():
 
 
 class CheckpointManager:
+    """Interval checkpoints (keep last ``max_to_keep``) plus, when
+    ``best_metric`` is set, a separate ``best/`` checkpoint updated whenever
+    a validation improves the tracked metric — fairseq's
+    ``--best-checkpoint-metric`` / ``checkpoint_best.pt`` +
+    ``--keep-last-epochs`` behavior (reference SpeechT5/README.md:119,205,208).
+    The best value survives resume via a JSON item in the best checkpoint."""
+
     def __init__(self, directory: str, max_to_keep: int = 10,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1,
+                 best_metric: Optional[str] = None,
+                 maximize_best: bool = False):
         ocp = _ocp()
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -39,6 +48,74 @@ class CheckpointManager:
                 enable_async_checkpointing=True,
             ),
         )
+        self.best_metric = best_metric
+        self.maximize_best = maximize_best
+        self.best_value: Optional[float] = None
+        self.best_step: Optional[int] = None
+        self.best_mngr = None
+        if best_metric:
+            self.best_mngr = ocp.CheckpointManager(
+                os.path.join(self.directory, "best"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, enable_async_checkpointing=True,
+                ),
+            )
+            prev = self.best_mngr.latest_step()
+            if prev is not None:  # resumed run: recover the incumbent best
+                try:
+                    meta = self.best_mngr.restore(
+                        prev, args=ocp.args.Composite(
+                            best=ocp.args.JsonRestore())
+                    )["best"]
+                    if meta.get("metric") == best_metric:
+                        self.best_value = float(meta["value"])
+                        self.best_step = int(prev)
+                except Exception:
+                    pass
+
+    def is_best(self, metrics: Dict[str, float]) -> bool:
+        if not self.best_metric or self.best_metric not in metrics:
+            return False
+        v = float(metrics[self.best_metric])
+        if self.best_value is None:
+            return True
+        return v > self.best_value if self.maximize_best else v < self.best_value
+
+    def save_best(self, step: int, metrics: Dict[str, float], state=None,
+                  data_state: Optional[dict] = None,
+                  model: Optional[dict] = None) -> bool:
+        """Update ``best/`` if ``metrics[best_metric]`` improves.  Returns
+        whether this step became the new best."""
+        if not self.is_best(metrics):
+            return False
+        ocp = _ocp()
+        self.best_value = float(metrics[self.best_metric])
+        self.best_step = step
+        items = {"best": ocp.args.JsonSave({
+            "metric": self.best_metric, "value": self.best_value,
+            "step": step})}
+        if state is not None:
+            items["state"] = ocp.args.StandardSave(state)
+        if data_state is not None:
+            items["data"] = ocp.args.JsonSave(data_state)
+        if model is not None:
+            items["model"] = ocp.args.StandardSave(model)
+        self.best_mngr.save(step, args=ocp.args.Composite(**items))
+        return True
+
+    def restore_best_model(self, variables_template):
+        """Restore the weights item of the best checkpoint (None if absent)."""
+        if self.best_mngr is None:
+            return None, None
+        step = self.best_mngr.latest_step()
+        if step is None:
+            return None, None
+        ocp = _ocp()
+        restored = self.best_mngr.restore(
+            step, args=ocp.args.Composite(
+                model=ocp.args.StandardRestore(variables_template)),
+        )
+        return restored["model"], step
 
     def save(self, step: int, state, data_state: Optional[dict] = None,
              model: Optional[dict] = None):
@@ -97,6 +174,8 @@ class CheckpointManager:
 
     def wait(self):
         self.mngr.wait_until_finished()
+        if self.best_mngr is not None:
+            self.best_mngr.wait_until_finished()
 
 
 def partial_load(
