@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import binarized
 from .audio import read_wav, read_audio, layer_norm_wav
 from .dictionary import Dictionary
 from ..ops.mel import log_mel_numpy
@@ -435,17 +436,26 @@ class TextPretrainDataset:
 
         if self.noising is None:
             self.noising = TN.NoisingConfig()
-        lines = read_lines(self.text_file)
         sents: List[np.ndarray] = []
-        for line in lines:
-            if not line.strip():
-                continue
-            if hasattr(self.dictionary, "encode_line"):
-                ids = self.dictionary.encode_line(line, append_eos=False)
-            else:
-                ids = self.dictionary.encode(line)
-            if len(ids):
-                sents.append(np.asarray(ids, np.int64))
+        prefix = self.text_file
+        if prefix.endswith((".bin", ".idx")):
+            prefix = prefix[:-4]
+        if binarized.exists(prefix):
+            # fairseq-binarized corpus (.bin/.idx): already numericalized
+            # by the dictionary used at binarization time (the form the
+            # reference ships its LibriLM text-pretrain data in)
+            ds = binarized.MMapIndexedDataset(prefix)
+            sents = [ds[i] for i in range(len(ds)) if len(ds[i])]
+        else:
+            for line in read_lines(self.text_file):
+                if not line.strip():
+                    continue
+                if hasattr(self.dictionary, "encode_line"):
+                    ids = self.dictionary.encode_line(line, append_eos=False)
+                else:
+                    ids = self.dictionary.encode(line)
+                if len(ids):
+                    sents.append(np.asarray(ids, np.int64))
         block = self.tokens_per_sample - 2  # room for bos/eos
         self.blocks: List[np.ndarray] = []
         if self.break_mode == "eos":
