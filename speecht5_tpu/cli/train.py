@@ -103,30 +103,45 @@ def make_batches(sizes, args, seed):
     return [order[i : i + B] for i in range(0, len(order) - B + 1, B)]
 
 
+def _pad_values(cfg):
+    """Pad ids for token-valued batch keys when cross-host shape unification
+    pads a host's bucket up (everything else pads with 0)."""
+    return {k: cfg.pad_id for k in ("targets", "prev_tokens", "tokens")}
+
+
 def run_validation(trainer, ds, args, cfg, dictionary):
     """Average eval-step metrics over the validation set; for s2t also the
     greedy-CTC WER/UER (the reference's in-training WER,
-    speech_to_text_loss.py:232-297)."""
+    speech_to_text_loss.py:232-297).  Under multi-host, each process scores
+    its row slice and the additive error/token counts are summed across
+    hosts (the reference's cross-rank reduce_metrics, SURVEY.md 5.5)."""
     import numpy as np
-    from ..utils.metrics import MetricsLogger, corpus_wer, edit_distance
+    from ..parallel import distributed as D
+    from ..utils.metrics import MetricsLogger, edit_distance
     from ..data.dictionary import letters_to_text
 
+    multi = D.process_count() > 1
     logger = MetricsLogger()
     uer_err = uer_tot = 0
-    refs, hyps = [], []
+    wer_err = wer_tot = 0
     B = args.batch_size
     n = len(ds) - len(ds) % B  # full batches only (sharded eval step)
     for s in range(0, n, B):
-        items = [ds[i] for i in range(s, s + B)]
+        rows = D.process_rows(B) if multi else slice(0, B)
+        items = [ds[i] for i in range(s + rows.start, s + rows.stop)]
         batch = collate_batch(args, ds, items, cfg, trainer.model)
+        if multi:
+            batch = D.unify_batch_shapes(batch, _pad_values(cfg))
         out = trainer.eval_step(batch)
         ctc_ids = out.pop("_ctc_ids", None)
         enc_lengths = out.pop("_enc_lengths", None)
         logger.update({k: float(v) for k, v in out.items()}, n=B)
         if ctc_ids is not None and args.ctc_weight > 0:
-            # collapse repeats, drop blanks (greedy CTC on argmax ids)
-            ids = np.asarray(ctc_ids)
-            lens = np.asarray(enc_lengths)
+            # collapse repeats, drop blanks (greedy CTC on argmax ids);
+            # local_rows = exactly this host's items, in order
+            ids = D.local_rows(ctc_ids) if multi else np.asarray(ctc_ids)
+            lens = (D.local_rows(enc_lengths) if multi
+                    else np.asarray(enc_lengths))
             for b, it in enumerate(items):
                 seq = ids[b, : lens[b]]
                 if len(seq) == 0:
@@ -139,13 +154,19 @@ def run_validation(trainer, ds, args, cfg, dictionary):
                 uer_err += edit_distance(seq.tolist(), ref)
                 uer_tot += max(len(ref), 1)
                 if dictionary is not None:
-                    hyps.append(letters_to_text(dictionary.string(seq)))
-                    refs.append(letters_to_text(dictionary.string(ref)))
+                    hyp_w = letters_to_text(dictionary.string(seq)).split()
+                    ref_w = letters_to_text(dictionary.string(ref)).split()
+                    wer_err += edit_distance(ref_w, hyp_w)
+                    wer_tot += len(ref_w)
+    counts = D.allsum_scalars({
+        "uer_err": uer_err, "uer_tot": uer_tot,
+        "wer_err": wer_err, "wer_tot": wer_tot,
+    })
     result = logger.averages()
-    if uer_tot:
-        result["uer"] = uer_err / uer_tot
-        if refs:
-            result["wer"] = corpus_wer(refs, hyps)
+    if counts["uer_tot"]:
+        result["uer"] = counts["uer_err"] / counts["uer_tot"]
+        if counts["wer_tot"]:
+            result["wer"] = counts["wer_err"] / counts["wer_tot"]
     return result
 
 
@@ -202,10 +223,28 @@ def main(argv=None):
     p.add_argument("--valid-manifest", default=None)
     p.add_argument("--valid-labels", default=None)
     p.add_argument("--valid-interval", type=int, default=1000)
+    p.add_argument("--best-checkpoint-metric", default=None,
+                   help="validation metric (e.g. wer, loss, accuracy) that "
+                        "selects the best/ checkpoint (fairseq "
+                        "--best-checkpoint-metric, SpeechT5/README.md:205)")
+    p.add_argument("--maximize-best-checkpoint-metric", action="store_true")
+    p.add_argument("--keep-last", type=int, default=10,
+                   help="interval checkpoints retained (fairseq "
+                        "--keep-last-epochs, SpeechT5/README.md:119,208)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of steps 10-14 here")
     p.add_argument("--n-model-shards", type=int, default=1)
     p.add_argument("--fsdp", action="store_true")
+    # multi-host launch (one process per host; reference multi-node DDP,
+    # SpeechT5/README.md:92-94).  On TPU pods all three are auto-detected —
+    # pass only --distributed-num-processes with no coordinator to opt in.
+    p.add_argument("--distributed-coordinator", default=None,
+                   help="host:port of process 0")
+    p.add_argument("--distributed-num-processes", type=int, default=None)
+    p.add_argument("--distributed-process-id", type=int, default=None)
+    p.add_argument("--distributed-platform", default=None,
+                   help="force a backend for the multi-process run "
+                        "(cpu = gloo-collective integration rig)")
     p.add_argument("--rng-impl", default="rbg", choices=("rbg", "threefry2x32"),
                    help="PRNG for dropout/masking keys: 'rbg' lowers to the "
                         "TPU hardware RNG instruction (profiled ~10%% faster "
@@ -221,6 +260,19 @@ def main(argv=None):
                         "repeatable: --override sid.encoder_cls=True "
                         "--override se_predict=masking")
     args = p.parse_args(argv)
+
+    from ..parallel import distributed as D
+
+    if args.distributed_num_processes:
+        # multi-host: join the global runtime BEFORE the first backend use
+        # (reference --distributed-world-size N over NCCL,
+        # SpeechT5/README.md:92-94; here jax.distributed + XLA collectives)
+        D.initialize(
+            coordinator_address=args.distributed_coordinator,
+            num_processes=args.distributed_num_processes,
+            process_id=args.distributed_process_id,
+            platform=args.distributed_platform,
+        )
 
     import jax
     from .. import config as C
@@ -306,8 +358,12 @@ def main(argv=None):
         model, variables, list(ds.keys()) if multitask else args.task,
         tcfg, mesh=mesh, fsdp=args.fsdp,
     )
-    mgr = CheckpointManager(args.save_dir)
-    logger = MetricsLogger(args.save_dir)
+    mgr = CheckpointManager(
+        args.save_dir, max_to_keep=args.keep_last,
+        best_metric=args.best_checkpoint_metric,
+        maximize_best=args.maximize_best_checkpoint_metric,
+    )
+    logger = MetricsLogger(args.save_dir if D.is_primary() else None)
 
     # resume
     state, data_state, step0 = mgr.restore(trainer.state)
@@ -319,7 +375,8 @@ def main(argv=None):
         if data_state:
             epoch0 = data_state.get("epoch", 0)
             batch0 = data_state.get("batch", 0)
-        print(f"resumed at step {step}", flush=True)
+        if D.is_primary():
+            print(f"resumed at step {step}", flush=True)
 
     def epoch_batches(epoch: int):
         """[(task_name, item_indices)] — modality-pure batches, deterministic
@@ -357,18 +414,27 @@ def main(argv=None):
     # jax.random.key carries it through split/fold_in
     rng = jax.random.key(args.seed + 7, impl=args.rng_impl)
     epoch = epoch0
+    last_loss = None
     done = step >= args.max_updates
     from ..data.prefetch import prefetch
 
+    multi = D.process_count() > 1
+
     def batch_stream(epoch: int, start: int):
         """Collated batches for one epoch; runs on the prefetch thread so
-        audio decode + log-mel + collation overlap the device step."""
+        audio decode + log-mel + collation overlap the device step.  Under
+        multi-host, every process walks the SAME deterministic batch order
+        but loads only its contiguous row slice of each global batch."""
         for bi, (task_name, idxs) in enumerate(epoch_batches(epoch)):
             if bi < start:
                 continue
             d = ds[task_name] if multitask else ds
-            items = [d[int(i)] for i in idxs]
-            yield bi, task_name, collate_for(task_name, d, items, epoch)
+            rows = idxs[D.process_rows(len(idxs))] if multi else idxs
+            items = [d[int(i)] for i in rows]
+            b = collate_for(task_name, d, items, epoch)
+            if multi:
+                b = D.unify_batch_shapes(b, _pad_values(cfg))
+            yield bi, task_name, b
 
     while not done:
         start = batch0 if epoch == epoch0 else 0
@@ -384,6 +450,7 @@ def main(argv=None):
                 batch, sub, task=task_name if multitask else None
             )
             timer.phase("log", fence=metrics["loss"])
+            last_loss = float(metrics["loss"])
             if profiling and step >= 14:
                 profiler_ctx.__exit__(None, None, None)
                 profiling = False
@@ -395,14 +462,23 @@ def main(argv=None):
             if step % args.log_interval == 0:
                 avg = logger.averages()
                 avg["ups"] = step / max(time.time() - t_start, 1e-6)
-                print(json.dumps({"step": step, **{
-                    k: round(v, 4) for k, v in avg.items()}}), flush=True)
+                if D.is_primary():
+                    print(json.dumps({"step": step, **{
+                        k: round(v, 4) for k, v in avg.items()}}), flush=True)
                 logger.reset()
             if valid_ds is not None and step % args.valid_interval == 0:
                 vm = run_validation(trainer, valid_ds, args, cfg, dictionary)
-                print(json.dumps({"step": step, **{
-                    f"valid_{k}": round(v, 4) for k, v in vm.items()}}),
-                    flush=True)
+                improved = mgr.save_best(
+                    step, vm, state=trainer.state,
+                    data_state={"epoch": epoch, "batch": bi + 1},
+                    model={"params": trainer.state.params,
+                           **trainer.state.extra},
+                )
+                if D.is_primary():
+                    print(json.dumps({"step": step, **{
+                        f"valid_{k}": round(v, 4) for k, v in vm.items()},
+                        **({"new_best": mgr.best_metric} if improved else {})}),
+                        flush=True)
             if step % args.save_interval == 0 or step >= args.max_updates:
                 # the weights-only 'model' item duplicates params on disk,
                 # but checkpoint averaging (--avg-last), eval of interrupted
@@ -422,8 +498,11 @@ def main(argv=None):
     if profiling:
         profiler_ctx.__exit__(None, None, None)
     mgr.wait()
-    print(f"phases: {timer.summary()}", flush=True)
+    if D.is_primary():
+        print(f"phases: {timer.summary()}", flush=True)
     print(json.dumps({"done": True, "steps": step,
+                      "process": D.process_index(),
+                      "final_loss": last_loss,
                       "wall": round(time.time() - t_start, 1)}), flush=True)
 
 

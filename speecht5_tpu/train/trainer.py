@@ -324,6 +324,29 @@ def make_train_step(model, task: str, cfg: TrainConfig):
             )
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+
+        if freeze_on:
+            # torch Adam initializes each param's step lazily on its first
+            # grad, so a subtree released from a freeze at step N is
+            # bias-corrected with count (step - N); optax keeps ONE global
+            # count, which over-corrects fresh moments (~3x-large first
+            # updates at torch betas).  Re-correct released subtrees with
+            # their effective count.  The factor also transiently rescales
+            # the weight-decay component by the same r in [~0.7, ~1.4] for
+            # a few dozen steps — negligible next to the moment error.
+            b1, b2 = cfg.betas
+            t_g = (state.step + 1).astype(jnp.float32)
+
+            def debias(u, n):
+                if not n:
+                    return u
+                t_e = jnp.maximum(t_g - n, 1.0)
+                r = ((1.0 - b1 ** t_g) / (1.0 - b1 ** t_e)
+                     * jnp.sqrt((1.0 - b2 ** t_e) / (1.0 - b2 ** t_g)))
+                return u * r
+
+            updates = jax.tree_util.tree_map(debias, updates, horizons)
+
         params = optax.apply_updates(state.params, updates)
 
         if freeze_on:
@@ -429,14 +452,32 @@ class Trainer:
         }
         self._step = self._steps[self.task]
 
-        # place state according to shardings
-        self.state = jax.device_put(self.state, self.state_shardings)
+        # place state according to shardings; under multi-host the shardings
+        # span processes, so each host contributes its addressable shards of
+        # the host-replicated init (device_put cannot cross processes)
+        if jax.process_count() > 1:
+            from ..parallel.distributed import host_to_global
+
+            self.state = host_to_global(self.state, self.state_shardings)
+        else:
+            self.state = jax.device_put(self.state, self.state_shardings)
+
+    def _put_batch(self, batch, bax: int):
+        """Single-process: device_put with batch-axis sharding.  Multi-host:
+        ``batch`` holds THIS process's contiguous row slice of the global
+        batch (see distributed.process_rows) and the global array is
+        assembled across hosts."""
+        if jax.process_count() > 1:
+            from ..parallel.distributed import make_global_batch
+
+            return make_global_batch(batch, self.mesh, bax)
+        return jax.device_put(batch, batch_shardings(batch, self.mesh, bax))
 
     def train_step(self, batch, rng, task: Optional[str] = None):
         # accum batches carry a leading microbatch axis: the data-parallel
         # split applies to axis 1 there
         bax = 1 if self.cfg.accum_steps > 1 else 0
-        batch = jax.device_put(batch, batch_shardings(batch, self.mesh, bax))
+        batch = self._put_batch(batch, bax)
         step = self._steps[task] if task is not None else self._step
         self.state, metrics = step(self.state, batch, rng)
         return metrics
@@ -484,5 +525,5 @@ class Trainer:
 
             self._eval_step = jax.jit(step_fn)
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        batch = jax.device_put(batch, batch_shardings(batch, self.mesh))
+        batch = self._put_batch(batch, 0)
         return self._eval_step(self.state.params, self.state.extra, batch, rng)
