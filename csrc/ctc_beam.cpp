@@ -57,7 +57,83 @@ struct NGramLM {
         return u != vocab.end() ? u->second : -1;
     }
 
+    // Compiled-LM binary format (the role of KenLM's build_binary output,
+    // reference SpeechLM/speechlm/infer.py:29-33 loads compiled .bin LMs):
+    // magic, order, vocab table, flat gram records.  Natural-log values are
+    // stored directly, so load is a single parse-free sweep.
+    static constexpr char BIN_MAGIC[8] = {'S','5','N','G','L','M','\x01','\n'};
+
+    bool load_binary(std::ifstream& f) {
+        int32_t ord = 0;
+        int64_t vsize = 0, ngrams = 0;
+        f.read(reinterpret_cast<char*>(&ord), 4);
+        f.read(reinterpret_cast<char*>(&vsize), 8);
+        f.read(reinterpret_cast<char*>(&ngrams), 8);
+        if (!f || ord <= 0 || vsize < 0 || ngrams < 0) return false;
+        order = ord;
+        vocab.reserve(vsize);
+        std::string w;
+        for (int64_t i = 0; i < vsize; i++) {
+            uint16_t len = 0;
+            f.read(reinterpret_cast<char*>(&len), 2);
+            w.resize(len);
+            f.read(&w[0], len);
+            if (!f) return false;
+            vocab.emplace(w, (int32_t)i);
+        }
+        grams.reserve(ngrams);
+        std::vector<int32_t> ids;
+        for (int64_t g = 0; g < ngrams; g++) {
+            uint8_t n = 0;
+            f.read(reinterpret_cast<char*>(&n), 1);
+            ids.resize(n);
+            f.read(reinterpret_cast<char*>(ids.data()), 4 * n);
+            float logp = 0, backoff = 0;
+            f.read(reinterpret_cast<char*>(&logp), 4);
+            f.read(reinterpret_cast<char*>(&backoff), 4);
+            if (!f) return false;
+            grams[key(ids)] = {logp, backoff};
+        }
+        return order > 0;
+    }
+
+    bool save_binary(const char* path) const {
+        std::ofstream f(path, std::ios::binary);
+        if (!f) return false;
+        f.write(BIN_MAGIC, 8);
+        int32_t ord = order;
+        int64_t vsize = (int64_t)vocab.size();
+        int64_t ngrams = (int64_t)grams.size();
+        f.write(reinterpret_cast<const char*>(&ord), 4);
+        f.write(reinterpret_cast<const char*>(&vsize), 8);
+        f.write(reinterpret_cast<const char*>(&ngrams), 8);
+        // vocab by id order
+        std::vector<const std::string*> words(vocab.size());
+        for (auto& kv : vocab) words[kv.second] = &kv.first;
+        for (auto* w : words) {
+            uint16_t len = (uint16_t)std::min<size_t>(w->size(), 65535);
+            f.write(reinterpret_cast<const char*>(&len), 2);
+            f.write(w->data(), len);
+        }
+        for (auto& kv : grams) {
+            uint8_t n = (uint8_t)(kv.first.size() / sizeof(int32_t));
+            f.write(reinterpret_cast<const char*>(&n), 1);
+            f.write(kv.first.data(), 4 * n);
+            f.write(reinterpret_cast<const char*>(&kv.second.first), 4);
+            f.write(reinterpret_cast<const char*>(&kv.second.second), 4);
+        }
+        return (bool)f;
+    }
+
     bool load(const char* path) {
+        {
+            std::ifstream fb(path, std::ios::binary);
+            if (!fb) return false;
+            char magic[8] = {0};
+            fb.read(magic, 8);
+            if (fb && std::memcmp(magic, BIN_MAGIC, 8) == 0)
+                return load_binary(fb);
+        }
         std::ifstream f(path);
         if (!f) return false;
         std::string line;
@@ -247,6 +323,14 @@ void* lexdec_create(const char* lexicon_path, const char* arpa_path,
 }
 
 void lexdec_free(void* p) { delete static_cast<Decoder*>(p); }
+
+// Compile a text ARPA LM into the fast binary format (KenLM build_binary's
+// role).  Returns 0 on success.
+int32_t lexlm_build_binary(const char* arpa_path, const char* bin_path) {
+    NGramLM lm;
+    if (!lm.load(arpa_path)) return 1;
+    return lm.save_binary(bin_path) ? 0 : 2;
+}
 
 // Decode one utterance.  lp: [T, V] natural-log posteriors.  Returns number
 // of output tokens written to out_tokens (caller capacity T); out_score gets

@@ -185,6 +185,24 @@ def lexicon_beam_py(
     return list(best.tokens), best.total()
 
 
+def build_binary_lm(arpa_path: str, bin_path: str) -> None:
+    """Compile a text ARPA LM into the decoder's fast binary format — the
+    role KenLM's build_binary plays for the reference's compiled-LM decode
+    (reference SpeechLM/speechlm/infer.py:29-33, SpeechLM/README.md:105-121).
+    ``LexiconDecoder`` auto-detects the format by magic, so the output path
+    drops in wherever an ARPA path is accepted."""
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (no toolchain?)")
+    lib.lexlm_build_binary.restype = ctypes.c_int32
+    lib.lexlm_build_binary.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    rc = lib.lexlm_build_binary(arpa_path.encode(), bin_path.encode())
+    if rc != 0:
+        raise RuntimeError(
+            f"lexlm_build_binary({arpa_path}) failed with code {rc}"
+        )
+
+
 class LexiconDecoder:
     """Native lexicon+LM CTC beam decoder (ctypes over csrc/ctc_beam.cpp).
 

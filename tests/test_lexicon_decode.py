@@ -237,3 +237,41 @@ class TestNgramRepeatBlock:
         )
         assert banned[0, 6]
         assert banned.sum() == 1
+
+
+class TestBinaryLM:
+    """Compiled-LM decode path (the reference decodes with KenLM-compiled
+    binary LMs via flashlight, SpeechLM/speechlm/infer.py:29-33; here our
+    own build_binary equivalent + magic-detected binary load)."""
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_binary_matches_arpa_decode(self, lexicon_file, arpa, tmp_path, rng):
+        from speecht5_tpu.decode.lexicon import build_binary_lm
+
+        bin_path = str(tmp_path / "lm.bin")
+        build_binary_lm(arpa, bin_path)
+        # binary is a real compiled artifact, not a text copy
+        with open(bin_path, "rb") as f:
+            head = f.read(8)
+        assert head == b"S5NGLM\x01\n"
+
+        kw = dict(blank=BLANK, sep=SEP, lm_weight=1.5, word_score=-0.3,
+                  beam=30)
+        dec_a = LexiconDecoder(lexicon_file, VOCAB, arpa_path=arpa, **kw)
+        dec_b = LexiconDecoder(lexicon_file, VOCAB, arpa_path=bin_path, **kw)
+        for trial in range(10):
+            T = int(rng.integers(3, 9))
+            e = rng.random((T, 4)) + 1e-3
+            lp = np.log(e / e.sum(-1, keepdims=True)).astype(np.float32)
+            toks_a, score_a = dec_a.decode(lp)
+            toks_b, score_b = dec_b.decode(lp)
+            assert toks_a == toks_b, f"trial {trial}"
+            np.testing.assert_allclose(score_a, score_b, rtol=1e-6)
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_build_binary_rejects_missing_arpa(self, tmp_path):
+        from speecht5_tpu.decode.lexicon import build_binary_lm
+
+        with pytest.raises(RuntimeError, match="failed"):
+            build_binary_lm(str(tmp_path / "absent.arpa"),
+                            str(tmp_path / "o.bin"))
