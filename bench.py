@@ -190,6 +190,49 @@ def main():
     except Exception as e:  # TTS is secondary; never lose the ASR number
         ph(f"TTS bench failed: {e!r}")
 
+    # ---------------------------------------------------------------- train
+    # Base-ASR fine-tune step (fwd+bwd+clip+adamw in ONE program), chained
+    # donated dispatch per the PERF.md protocol: state feeds the next call so
+    # the memoizing backend must execute every step; host fence at the end.
+    try:
+        from speecht5_tpu.train.trainer import Trainer, TrainConfig
+
+        TB, TSECS, TL, TSTEPS = 16, 10, 60, 10
+        tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
+        trainer = Trainer(model, variables, "s2t", tcfg)
+        rng_t = np.random.default_rng(1)
+        tbatch = {
+            "wav": jnp.asarray(
+                rng_t.standard_normal((TB, TSECS * SR)), jnp.float32) * 0.1,
+            "wav_lengths": jnp.full((TB,), TSECS * SR, jnp.int32),
+            "prev_tokens": jnp.asarray(
+                rng_t.integers(4, cfg.vocab_size, (TB, TL)), jnp.int32),
+            "targets": jnp.asarray(
+                rng_t.integers(4, cfg.vocab_size, (TB, TL)), jnp.int32),
+            "target_lengths": jnp.full((TB,), TL, jnp.int32),
+        }
+        key = jax.random.PRNGKey(1)
+        key, sub = jax.random.split(key)
+        loss0 = float(trainer.train_step(tbatch, sub)["loss"])  # compile
+        ph(f"train step compiled, loss={loss0:.4f}")
+        t0 = time.perf_counter()
+        for _ in range(TSTEPS):
+            key, sub = jax.random.split(key)
+            m = trainer.train_step(tbatch, sub)
+        loss_last = float(m["loss"])  # drains the pipelined chain
+        tdt = time.perf_counter() - t0
+        step_flops = F.s2t_train_flops(cfg, TB, TSECS * SR, TL)
+        extras["train_ms_per_step"] = round(tdt / TSTEPS * 1e3, 1)
+        extras["train_mfu"] = round(F.mfu(step_flops * TSTEPS, tdt), 4)
+        extras["train_audio_s_per_s"] = round(TSTEPS * TB * TSECS / tdt, 1)
+        extras["train_loss_first_last"] = [round(loss0, 3),
+                                           round(loss_last, 3)]
+        ph(f"train {tdt/TSTEPS*1e3:.1f}ms/step batch {TB} "
+           f"-> MFU {extras['train_mfu']*100:.1f}%, "
+           f"loss {loss0:.3f}->{loss_last:.3f}")
+    except Exception as e:  # train segment must never lose the ASR number
+        ph(f"train bench failed: {e!r}")
+
     out = {
         "metric": "speecht5_base_asr_beam5_ctc_decode_throughput",
         "value": round(realtime_x, 2),
