@@ -75,8 +75,10 @@ class ConvFeatureConfig:
     )
     mode: str = "default"  # "default": GroupNorm on first layer; "layer_norm": LN every layer
     bias: bool = False
-    # conv lowering for the strided middle layers: "xla" (conv_general_dilated)
-    # or "polyphase" (k strided-slice matmuls — see prenets._PolyphaseConv).
+    # conv lowering for the strided middle layers: "xla" (conv_general_dilated),
+    # "polyphase" (k strided-slice matmuls — see prenets._PolyphaseConv), or
+    # "pallas" (whole remaining stack fused in ONE kernel, intermediates in
+    # VMEM, bwd = XLA recompute — ops/pallas_kernels.conv_stack_fused).
     # Parameters are identical either way.  "xla" wins in the full train
     # step (150 vs 180 ms/step at base-ASR batch 16 on one v5e chip): the
     # conv emitter's ~26%-of-peak microbenchmark is made up for by fusion

@@ -15,7 +15,7 @@ Behavioral specs:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -204,6 +204,22 @@ class _PerChannelGroupNorm(nn.Module):
         )
 
 
+class _ConvKernelParam(nn.Module):
+    """Bare conv kernel param under the same {conv_i: {kernel}} tree as the
+    nn.Conv path, so checkpoints interchange across conv_features.impl."""
+
+    shape: tuple
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(in_axis=(0, 1),
+                                                   out_axis=2),
+            self.shape, self.param_dtype,
+        )
+
+
 class ConvFeatureExtractor(nn.Module):
     """wav2vec2-style stack of strided Conv1d blocks
     (reference speech_encoder_prenet.py:278-374)."""
@@ -216,7 +232,33 @@ class ConvFeatureExtractor(nn.Module):
     def __call__(self, wav):
         """wav: [B, T] -> [B, frames, C_out]."""
         x = wav[..., None].astype(self.dtype)  # NWC
+        use_pallas = (
+            self.cfg.impl == "pallas" and self.cfg.mode == "default"
+            and not self.cfg.bias and len(self.cfg.layers) > 1
+        )
         for i, (dim, k, stride) in enumerate(self.cfg.layers):
+            if use_pallas and i == 1:
+                # layers 1.. fused into ONE Pallas program: per-tap matmuls
+                # over strided reshape views (no im2col materialization),
+                # GELU between layers on-chip, intermediates never touch HBM
+                # (ops/pallas_kernels.conv_stack_fused; bwd = XLA recompute).
+                # Param tree identical to the nn.Conv path.
+                from ..ops.pallas_kernels import conv_stack_fused
+
+                rest = self.cfg.layers[1:]
+                weights = []
+                c_in = x.shape[-1]
+                for li, (d2, k2, s2) in enumerate(rest, start=1):
+                    weights.append(_ConvKernelParam(
+                        (k2, c_in, d2), self.param_dtype,
+                        name=f"conv_{li}",
+                    )())
+                    c_in = d2
+                x = conv_stack_fused(
+                    x, tuple(weights),
+                    tuple((k2, s2) for _, k2, s2 in rest),
+                )
+                break
             if i == 0 and k % stride == 0 and not self.cfg.bias:
                 x = _Conv0MatMul(
                     dim, k, stride, self.dtype, self.param_dtype,

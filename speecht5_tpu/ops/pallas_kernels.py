@@ -634,3 +634,168 @@ def flash_attention_bias(
         interpret=_interpret(),
     )(qp, kp, vp, bp)
     return out[:, :Tq]
+
+
+# ====================================================== fused conv-FE stack
+#
+# The wav2vec2 feature extractor's strided middle layers (reference
+# speech_encoder_prenet.py:278-374: 4x Conv1d(512,3,2) + 2x Conv1d(512,2,2)
+# after the first block) are low-arithmetic-intensity for the MXU and XLA's
+# conv lowering materializes an im2col [B, T_out, k*C] operand per layer in
+# HBM (PERF.md section 5: the FE is 10-25% of the train step).  This kernel
+# runs the WHOLE remaining stack for one tile of final frames inside VMEM:
+# the input tile is DMA'd once, every intermediate activation lives on-chip,
+# each conv is k per-tap matmuls over a strided reshape view (no im2col
+# materialization), and GELU is fused between layers.  Cross-tile overlap
+# (k-s rows per layer) is recomputed — a few percent of rows.
+
+
+def _conv_spans(specs, tile):
+    """rows of layer-i input needed to produce ``tile`` final rows."""
+    spans = [tile]
+    for k, s in reversed(specs):
+        spans.append((spans[-1] - 1) * s + k)
+    return spans[::-1]  # spans[0] = kernel-input rows ... spans[-1] = tile
+
+
+def _erf(z):
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| < 1.5e-7 in f32 —
+    below bf16 resolution); Mosaic has no erf/erfc lowering."""
+    sign = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _conv_stack_kernel(x_hbm, *args, specs, spans, tile, stride_prod,
+                       span_pad, dtype):
+    w_refs = args[: len(specs)]
+    out_ref = args[len(specs)]
+    x_scr, sem = args[len(specs) + 1 :]
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = pl.multiple_of(t * tile * stride_prod, tile * stride_prod)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start, span_pad), :], x_scr, sem
+    )
+    dma.start()
+    dma.wait()
+    x = x_scr[:]
+    for i, (k, s) in enumerate(specs):
+        n_out = spans[i + 1]
+        C = w_refs[i].shape[-1]
+        acc = jnp.zeros((n_out, C), jnp.float32)
+        for j in range(k):
+            # rows j, j+s, j+2s, ... via contiguous slice + reshape — the
+            # tap view costs no copy and no gather
+            xj = x[j : j + n_out * s].reshape(n_out, s, x.shape[-1])[:, 0, :]
+            acc += jnp.dot(xj, w_refs[i][j],
+                           preferred_element_type=jnp.float32)
+        x = _gelu_exact(acc).astype(dtype)
+        if i + 1 < len(specs):
+            # pad so the next layer's tap slices stay in range
+            pad_to = spans[i + 1] + specs[i + 1][1] * 2
+            x = jnp.pad(x, ((0, _round_up(pad_to, 8) - n_out), (0, 0)))
+    out_ref[:] = x[None, :tile, :]
+
+
+def conv_stack_pallas(x, weights, specs, tile: int = 32):
+    """Fused strided conv+GELU stack: [B, T, C] -> [B, T_out, C_out].
+
+    ``specs``: ((k, s), ...) per layer; ``weights``: matching [k, C_in, C_out]
+    (the nn.Conv kernel layout).  VALID padding, no bias — the reference FE's
+    configuration.  Forward only; see ``conv_stack_fused`` for the VJP.
+    """
+    B, T, C = x.shape
+    dtype = x.dtype
+    # exact valid-conv output length of the chain
+    T_out = T
+    for k, s in specs:
+        T_out = (T_out - k) // s + 1
+    assert T_out > 0, (T, specs)
+    # lane alignment: DMA slices need the channel dim in 128 multiples;
+    # zero-padded channels stay zero through conv+gelu and are sliced off
+    C_real = weights[-1].shape[-1]
+    Cp = _round_up(C, 128)
+    if Cp != C or any(_round_up(w.shape[-1], 128) != w.shape[-1]
+                      for w in weights):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Cp - C)))
+        weights = [
+            jnp.pad(w, ((0, 0), (0, Cp - w.shape[1]),
+                        (0, _round_up(w.shape[2], 128) - w.shape[2])))
+            for w in weights
+        ]
+        return conv_stack_pallas(x, weights, specs, tile)[..., :C_real]
+    stride_prod = 1
+    for _, s in specs:
+        stride_prod *= s
+    n_tiles = -(-T_out // tile)
+    spans = _conv_spans(specs, tile)
+    span_pad = _round_up(spans[0] + specs[0][1] * 2, 8)
+    # pad time so every tile's DMA window is in range (zeros -> conv of
+    # zeros is zero, gelu(0)=0; rows beyond T_out are sliced off)
+    need = (n_tiles - 1) * tile * stride_prod + span_pad
+    xp = jnp.pad(x, ((0, 0), (0, max(0, need - T)), (0, 0)))
+    C_out = weights[-1].shape[-1]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _conv_stack_kernel, specs=tuple(specs), spans=spans, tile=tile,
+            stride_prod=stride_prod, span_pad=span_pad, dtype=dtype,
+        ),
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
+            pl.BlockSpec(w.shape, (lambda b, t: (0,) * w.ndim),
+                         memory_space=pltpu.VMEM)
+            for w in weights
+        ],
+        out_specs=pl.BlockSpec((1, tile, C_out), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, C_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((span_pad, C), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(xp, *[w.astype(dtype) for w in weights])
+    return out[:, :T_out, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_stack_fused(x, weights, specs, tile=32):
+    """``conv_stack_pallas`` with a recompute backward: the fwd saves only
+    (x, weights); bwd re-derives the conv chain through XLA's
+    conv_general_dilated and standard AD (remat-style — the fused fwd keeps
+    no intermediates to reuse)."""
+    return conv_stack_pallas(x, weights, specs, tile)
+
+
+def _conv_stack_ref(x, weights, specs):
+    y = x
+    for (k, s), w in zip(specs, weights):
+        y = jax.lax.conv_general_dilated(
+            y, w.astype(y.dtype), (s,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        y = jax.nn.gelu(y, approximate=False).astype(x.dtype)
+    return y
+
+
+def _conv_stack_fwd(x, weights, specs, tile):
+    return conv_stack_pallas(x, weights, specs, tile), (x, weights)
+
+
+def _conv_stack_bwd(specs, tile, res, g):
+    x, weights = res
+    _, vjp = jax.vjp(lambda xx, ww: _conv_stack_ref(xx, ww, specs),
+                     x, weights)
+    return vjp(g)
+
+
+conv_stack_fused.defvjp(_conv_stack_fwd, _conv_stack_bwd)

@@ -166,3 +166,84 @@ class TestFlashAttentionBias:
         ))
         want = self._reference(q, k, v, bias, valid)
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestConvStackFused:
+    """Fused conv-FE stack (ops/pallas_kernels.conv_stack_fused): the
+    reference FE's strided middle layers (speech_encoder_prenet.py:278-374)
+    in one kernel — per-tap matmuls over strided reshape views, on-chip
+    GELU, recompute backward."""
+
+    SPECS = ((3, 2), (3, 2), (2, 2))
+
+    def _data(self, C=32, T=700, B=2, seed=0):
+        from speecht5_tpu.ops import pallas_kernels as K
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+        ws = tuple(
+            jnp.asarray(rng.standard_normal((k, C, C)) * 0.05, jnp.float32)
+            for k, _ in self.SPECS
+        )
+        return K, x, ws
+
+    def test_forward_matches_xla_conv(self):
+        K, x, ws = self._data()
+        ref = K._conv_stack_ref(x, ws, self.SPECS)
+        got = K.conv_stack_pallas(x, list(ws), self.SPECS, tile=16)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4)
+
+    def test_grads_match_reference(self):
+        K, x, ws = self._data()
+
+        def f(x, w):
+            return (K.conv_stack_fused(x, w, self.SPECS, 16) ** 2).sum()
+
+        def fr(x, w):
+            return (K._conv_stack_ref(x, w, self.SPECS) ** 2).sum()
+
+        gx, gw = jax.grad(f, argnums=(0, 1))(x, ws)
+        rx, rw = jax.grad(fr, argnums=(0, 1))(x, ws)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=5e-4)
+        for a, b in zip(gw, rw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
+
+    def test_ragged_length_and_bf16(self):
+        """Lengths that don't divide the tile, bf16 activations."""
+        K, x, ws = self._data(T=333)
+        x16 = x.astype(jnp.bfloat16)
+        ref = K._conv_stack_ref(x16, ws, self.SPECS)
+        got = K.conv_stack_pallas(x16, list(ws), self.SPECS, tile=16)
+        assert got.shape == ref.shape and got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2)
+
+    def test_fe_module_impl_parity(self):
+        """ConvFeatureExtractor(impl=pallas) == impl=xla: identical param
+        tree, matching outputs and grads through the module surface."""
+        from dataclasses import replace
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.prenets import ConvFeatureExtractor
+
+        cfg = speecht5_tiny().conv_features
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        fe_x = ConvFeatureExtractor(replace(cfg, impl="xla"))
+        fe_p = ConvFeatureExtractor(replace(cfg, impl="pallas"))
+        vx = fe_x.init(jax.random.PRNGKey(0), wav)
+        vp = fe_p.init(jax.random.PRNGKey(0), wav)
+        assert (jax.tree_util.tree_structure(vx)
+                == jax.tree_util.tree_structure(vp))
+        ox = fe_x.apply(vx, wav)
+        op = fe_p.apply(vx, wav)  # same params through both impls
+        np.testing.assert_allclose(np.asarray(ox), np.asarray(op), atol=1e-4)
+        gx = jax.grad(lambda v: (fe_x.apply(v, wav) ** 2).sum())(vx)
+        gp = jax.grad(lambda v: (fe_p.apply(v, wav) ** 2).sum())(vx)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3)
