@@ -49,6 +49,10 @@ def main(argv=None):
     p.add_argument("--ensemble-last", type=int, default=0,
                    help="decode with the last N checkpoints as a true "
                         "ensemble (per-step probability averaging, s2t only)")
+    p.add_argument("--use-best", action="store_true",
+                   help="load the best-metric checkpoint saved under "
+                        "ckpt/best (train --best-checkpoint-metric; the "
+                        "reference evaluates checkpoint_best.pt)")
     p.add_argument("--avg-last", type=int, default=0,
                    help="average the last N checkpoints (reference ST recipes "
                         "average 10, SpeechT5/README.md:437-441)")
@@ -125,6 +129,16 @@ def main(argv=None):
         variables["params"] = params
         step = steps[-1]
         print(f"averaged {len(trees)} checkpoints {steps}", flush=True)
+    elif args.use_best:
+        from ..utils.checkpoint import CheckpointManager as _CM
+
+        best_mgr = _CM(args.ckpt, best_metric="_load")
+        restored, step = best_mgr.restore_best_model(variables)
+        if restored is None:
+            raise SystemExit(f"no best checkpoint under {args.ckpt}/best "
+                             f"(train with --best-checkpoint-metric)")
+        variables = restored
+        print(f"loaded BEST checkpoint step {step}", flush=True)
     else:
         restored, step = mgr.restore_model(variables)
         if restored is None:

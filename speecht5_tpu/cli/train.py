@@ -431,10 +431,7 @@ def main(argv=None):
             d = ds[task_name] if multitask else ds
             rows = idxs[D.process_rows(len(idxs))] if multi else idxs
             items = [d[int(i)] for i in rows]
-            b = collate_for(task_name, d, items, epoch)
-            if multi:
-                b = D.unify_batch_shapes(b, _pad_values(cfg))
-            yield bi, task_name, b
+            yield bi, task_name, collate_for(task_name, d, items, epoch)
 
     while not done:
         start = batch0 if epoch == epoch0 else 0
@@ -443,6 +440,11 @@ def main(argv=None):
                 profiler_ctx = profiler_trace(args.profile_dir)
                 profiler_ctx.__enter__()
                 profiling = True
+            if multi:
+                # cross-host shape unification is a collective: issue it on
+                # the MAIN thread so every host's collective order is the
+                # program order (the prefetch thread must stay IO-only)
+                batch = D.unify_batch_shapes(batch, _pad_values(cfg))
             timer.phase("data")
             rng, sub = jax.random.split(rng)
             timer.phase("step")

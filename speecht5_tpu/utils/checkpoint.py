@@ -38,6 +38,8 @@ class CheckpointManager:
                  best_metric: Optional[str] = None,
                  maximize_best: bool = False):
         ocp = _ocp()
+        from orbax.checkpoint import options as ocp_options
+
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.mngr = ocp.CheckpointManager(
@@ -46,6 +48,9 @@ class CheckpointManager:
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps,
                 enable_async_checkpointing=True,
+                multiprocessing_options=ocp_options.MultiprocessingOptions(
+                    barrier_sync_key_prefix="interval",
+                ),
             ),
         )
         self.best_metric = best_metric
@@ -58,6 +63,13 @@ class CheckpointManager:
                 os.path.join(self.directory, "best"),
                 options=ocp.CheckpointManagerOptions(
                     max_to_keep=1, enable_async_checkpointing=True,
+                    # distinct barrier namespace: two async managers in one
+                    # multi-host job must not alias their sync keys
+                    multiprocessing_options=(
+                        ocp_options.MultiprocessingOptions(
+                            barrier_sync_key_prefix="best",
+                        )
+                    ),
                 ),
             )
             prev = self.best_mngr.latest_step()

@@ -95,6 +95,7 @@ def test_validation_loop_with_ctc_wer(corpus, capsys):
         "--valid-labels", str(corpus / "train.ltr"),
         "--valid-interval", "8", "--save-interval", "8",
         "--log-interval", "100",
+        "--best-checkpoint-metric", "uer",
     ])
     lines = [l for l in capsys.readouterr().out.splitlines()
              if l.startswith("{")]
@@ -103,6 +104,9 @@ def test_validation_loop_with_ctc_wer(corpus, capsys):
     v = valid[0]
     assert "valid_uer" in v and "valid_wer" in v
     assert 0.0 <= v["valid_wer"] <= 1.5
+    assert v.get("new_best") == "uer"
+    # best-metric checkpoint landed and evaluate --use-best can name it
+    assert (save / "best").exists()
 
 
 @pytest.mark.slow

@@ -110,3 +110,105 @@ class TestHelpers:
         from speecht5_tpu.parallel import distributed as D
 
         assert D.allsum_scalars({"a": 2.0}) == {"a": 2.0}
+
+
+def _write_corpus(tmp):
+    """Tiny synthetic wav corpus (the test_cli.py fixture, inlined so this
+    module stays subprocess-friendly)."""
+    from speecht5_tpu.data.audio import write_wav
+
+    words = ["HELLO", "WORLD", "ALOHA", "DATA", "RADAR", "LOL", "HAT",
+             "DOLL"]
+    root = tmp / "audio"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    rows, labels = [], []
+    n = 4000
+    for i in range(16):
+        w = words[i % len(words)]
+        t = np.arange(n) / 16000.0
+        f = 200.0 + 120.0 * (i % len(words))
+        wav = 0.3 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(n)
+        write_wav(str(root / f"u{i}.wav"), wav)
+        rows.append(f"u{i}.wav\t{n}")
+        labels.append(" ".join(list(w)) + " |")
+    (tmp / "train.tsv").write_text(str(root) + "\n" + "\n".join(rows) + "\n")
+    (tmp / "train.ltr").write_text("\n".join(labels) + "\n")
+    letters = sorted(set("".join(words))) + ["|"]
+    (tmp / "dict.ltr.txt").write_text(
+        "\n".join(f"{s} 100" for s in letters) + "\n")
+
+
+def _cli_args(tmp, save, extra=()):
+    return [
+        "-m", "speecht5_tpu.cli.train",
+        "--manifest", str(tmp / "train.tsv"),
+        "--labels", str(tmp / "train.ltr"),
+        "--dict", str(tmp / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny", "--task", "s2t",
+        "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--mask-prob", "0", "--ctc-weight", "0.3",
+        "--valid-manifest", str(tmp / "train.tsv"),
+        "--valid-labels", str(tmp / "train.ltr"),
+        "--valid-interval", "4", "--save-interval", "100",
+        "--log-interval", "100", "--rng-impl", "threefry2x32",
+        "--best-checkpoint-metric", "uer", *extra,
+    ]
+
+
+def _final_json(out):
+    for line in reversed(out.splitlines()):
+        if line.startswith("{") and '"done"' in line:
+            return json.loads(line)
+    raise AssertionError(f"no done line:\n{out[-4000:]}")
+
+
+@pytest.mark.slow
+def test_cli_two_process_matches_single(tmp_path):
+    """Full CLI path — process-sharded manifest loading, cross-host shape
+    unification, validation-count reduction, rank-0 logging — two gloo
+    processes x 4 devices vs one process x 8 devices."""
+    _write_corpus(tmp_path)
+    port = _free_port()
+    env2 = _clean_env()
+    env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env2["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, *_cli_args(
+                tmp_path, tmp_path / "ck2",
+                extra=("--distributed-coordinator", f"127.0.0.1:{port}",
+                       "--distributed-num-processes", "2",
+                       "--distributed-process-id", str(i),
+                       "--distributed-platform", "cpu"))],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env2,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-5000:]}"
+
+    env1 = _clean_env()
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env1["JAX_PLATFORMS"] = "cpu"
+    single = subprocess.run(
+        [sys.executable, *_cli_args(tmp_path, tmp_path / "ck1")],
+        capture_output=True, text=True, timeout=1200, env=env1,
+    )
+    assert single.returncode == 0, single.stdout[-5000:] + single.stderr[-2000:]
+
+    two = [_final_json(o) for o in outs]
+    one = _final_json(single.stdout)
+    # same final loss across the two workers and vs the single-process run
+    assert two[0]["final_loss"] == pytest.approx(two[1]["final_loss"],
+                                                 rel=1e-5)
+    assert two[0]["final_loss"] == pytest.approx(one["final_loss"], rel=1e-3)
+    # only rank 0 logged validation; it carries the reduced WER counts
+    v0 = [l for l in outs[0].splitlines() if '"valid_uer"' in l]
+    v1 = [l for l in outs[1].splitlines() if '"valid_uer"' in l]
+    assert v0 and not v1
+    # best-metric checkpoint written under the shared save dir
+    assert (tmp_path / "ck2" / "best").exists()
