@@ -762,6 +762,12 @@ def conv_stack_pallas(x, weights, specs, tile: int = 32):
             pltpu.VMEM((span_pad, C), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # the weight blocks alone are ~8.4MB at 512 channels; with the f32
+        # accumulators the stack exceeds the compiler's default 16MB scoped
+        # budget (measured 29.4MB at tile=32)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(xp, *[w.astype(dtype) for w in weights])
     return out[:, :T_out, :]
