@@ -418,6 +418,27 @@ def main(argv=None):
     done = step >= args.max_updates
     from ..data.prefetch import prefetch
 
+    # preemption-safe shutdown: SIGTERM/SIGINT set a flag; the loop saves a
+    # full resumable checkpoint at the next step boundary and exits cleanly.
+    # (The reference has nothing — a killed fairseq run loses everything
+    # since the last --save-interval-updates; SURVEY.md §5.3.)  Under
+    # multi-host the local flags are OR-reduced across hosts each step so
+    # every process stops at the SAME step — a host stopping alone would
+    # leave the others hanging in a collective.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _on_term)
+        except ValueError:  # non-main thread (tests)
+            pass
+
     multi = D.process_count() > 1
 
     def batch_stream(epoch: int, start: int):
@@ -440,11 +461,26 @@ def main(argv=None):
                 profiler_ctx = profiler_trace(args.profile_dir)
                 profiler_ctx.__enter__()
                 profiling = True
+            stop = stop_requested["flag"]
             if multi:
                 # cross-host shape unification is a collective: issue it on
                 # the MAIN thread so every host's collective order is the
-                # program order (the prefetch thread must stay IO-only)
+                # program order (the prefetch thread must stay IO-only).
+                # The preemption flag rides the same cadence (OR-reduce).
                 batch = D.unify_batch_shapes(batch, _pad_values(cfg))
+                stop = D.allsum_scalars({"stop": float(stop)})["stop"] > 0
+            if stop:
+                mgr.save(
+                    step, trainer.state,
+                    data_state={"epoch": epoch, "batch": bi},
+                    model={"params": trainer.state.params,
+                           **trainer.state.extra},
+                )
+                if D.is_primary():
+                    print(json.dumps({"preempted": True, "step": step}),
+                          flush=True)
+                done = True
+                break
             timer.phase("data")
             rng, sub = jax.random.split(rng)
             timer.phase("step")
@@ -500,6 +536,8 @@ def main(argv=None):
     if profiling:
         profiler_ctx.__exit__(None, None, None)
     mgr.wait()
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     if D.is_primary():
         print(f"phases: {timer.summary()}", flush=True)
     print(json.dumps({"done": True, "steps": step,

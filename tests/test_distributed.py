@@ -212,3 +212,54 @@ def test_cli_two_process_matches_single(tmp_path):
     assert v0 and not v1
     # best-metric checkpoint written under the shared save dir
     assert (tmp_path / "ck2" / "best").exists()
+
+
+@pytest.mark.slow
+def test_preemption_sigterm_saves_and_resumes(tmp_path):
+    """SIGTERM mid-run saves a full resumable checkpoint at the next step
+    boundary and exits 0; a relaunch resumes from the saved step (the
+    reference loses everything since the last --save-interval-updates)."""
+    import signal as _signal
+    import time as _time
+
+    _write_corpus(tmp_path)
+    env = _clean_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["JAX_PLATFORMS"] = "cpu"
+    args = [sys.executable, "-u", *_cli_args(tmp_path, tmp_path / "ck")]
+    # long run we will interrupt: raise max-updates, drop validation
+    args[args.index("--max-updates") + 1] = "500"
+    args[args.index("--valid-interval") + 1] = "1000"
+    args[args.index("--log-interval") + 1] = "1"
+    p = subprocess.Popen(args, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, env=env)
+    # wait until it has taken a couple of steps, then SIGTERM
+    saw_step = False
+    t0 = _time.time()
+    lines = []
+    while _time.time() - t0 < 900:
+        line = p.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if '"step": 2' in line:
+            saw_step = True
+            p.send_signal(_signal.SIGTERM)
+            break
+    assert saw_step, "".join(lines)[-3000:]
+    out, _ = p.communicate(timeout=600)
+    lines.append(out)
+    all_out = "".join(lines)
+    assert p.returncode == 0, all_out[-3000:]
+    pre = [json.loads(l) for l in all_out.splitlines()
+           if l.startswith("{") and '"preempted"' in l]
+    assert pre and pre[0]["step"] >= 2, all_out[-3000:]
+
+    # relaunch: must resume at the preempted step, not from scratch
+    args[args.index("--max-updates") + 1] = str(pre[0]["step"] + 2)
+    r = subprocess.run(args, capture_output=True, text=True, timeout=900,
+                       env=env)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-1000:]
+    assert f"resumed at step {pre[0]['step']}" in r.stdout, r.stdout[-3000:]
+    fin = _final_json(r.stdout)
+    assert fin["steps"] == pre[0]["step"] + 2
