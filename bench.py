@@ -197,6 +197,10 @@ def main():
     try:
         from speecht5_tpu.train.trainer import Trainer, TrainConfig
 
+        # rbg keys: the TPU hardware-RNG lowering the training CLI defaults
+        # to (~10% faster step than threefry's vector program, PERF.md);
+        # set here so the decode/TTS programs above stay byte-identical
+        jax.config.update("jax_default_prng_impl", "rbg")
         TB, TSECS, TL, TSTEPS = 16, 10, 60, 10
         tcfg = TrainConfig(lr=1e-4, warmup_steps=100, ctc_weight=0.5)
         trainer = Trainer(model, variables, "s2t", tcfg)
