@@ -41,6 +41,14 @@ def main(argv=None):
     p.add_argument("--max-len", type=int, default=256)
     p.add_argument("--ctc-weight", type=float, default=0.0)
     p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--lm-ckpt", default=None,
+                   help="orbax dir with a TransformerLM 'model' item for "
+                        "shallow fusion (reference --lm-path, "
+                        "SpeechT5/README.md:241-244)")
+    p.add_argument("--lm-arch", default="t5", choices=("t5", "tiny"),
+                   help="fusion LM architecture: 't5' = the reference's "
+                        "20-layer transformer_lm_t5 (models/t5_transformer_lm.py), "
+                        "'tiny' for tests")
     p.add_argument("--max-sample-size", type=int, default=None)
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--dtype", default="float32")
@@ -146,6 +154,26 @@ def main(argv=None):
         variables = restored
         print(f"loaded checkpoint step {step}", flush=True)
 
+    lm = lm_vars = None
+    if args.lm_ckpt:
+        # shallow-fusion LM: per-step log-prob mix inside the jitted beam
+        # loop (reference fairseq lm_model branch, sequence_generator.py)
+        from dataclasses import replace as _dc_replace
+        from ..models.lm import TransformerLM, TransformerLMConfig, lm_tiny
+
+        lmcfg = lm_tiny() if args.lm_arch == "tiny" else TransformerLMConfig()
+        lmcfg = _dc_replace(lmcfg, vocab_size=cfg.vocab_size,
+                            pad_id=cfg.pad_id)
+        lm = TransformerLM(lmcfg)
+        lm_template = lm.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8), jnp.int32))
+        lm_vars, lm_step = CheckpointManager(args.lm_ckpt).restore_model(
+            lm_template)
+        if lm_vars is None:
+            raise SystemExit(f"no LM checkpoint found in {args.lm_ckpt}")
+        print(f"fusion LM loaded (step {lm_step}), "
+              f"weight {args.lm_weight}", flush=True)
+
     if args.results_path:
         os.makedirs(args.results_path, exist_ok=True)
 
@@ -180,6 +208,7 @@ def main(argv=None):
             model, dec_vars,
             beam_size=args.beam, max_len=args.max_len,
             ctc_weight=args.ctc_weight,
+            lm=lm, lm_variables=lm_vars, lm_weight=args.lm_weight,
         )
         refs, hyps = [], []
         for s in range(0, n, args.batch_size):

@@ -193,6 +193,12 @@ def main(argv=None):
     p.add_argument("--max-sample-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--schedule", default="inverse_sqrt",
+                   choices=("inverse_sqrt", "tri_stage", "polynomial"),
+                   help="LR schedule (fairseq --lr-scheduler; the reference "
+                        "ASR fine-tune uses tri_stage, pretrain inverse_sqrt)")
+    p.add_argument("--hold-steps", type=int, default=0,
+                   help="tri_stage hold phase length")
     p.add_argument("--clip-norm", type=float, default=5.0)
     p.add_argument("--accum", type=int, default=1)
     p.add_argument("--ce-weight", type=float, default=1.0)
@@ -343,6 +349,7 @@ def main(argv=None):
     mesh = make_mesh(n_model=args.n_model_shards)
     tcfg = TrainConfig(
         lr=args.lr, warmup_steps=args.warmup, clip_norm=args.clip_norm,
+        schedule=args.schedule, hold_steps=args.hold_steps,
         accum_steps=args.accum, ce_weight=args.ce_weight,
         ctc_weight=args.ctc_weight, zero_infinity=args.zero_infinity,
         label_smoothing=args.label_smoothing,

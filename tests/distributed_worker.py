@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--fsdp", action="store_true")
+    ap.add_argument("--n-model", type=int, default=1,
+                    help="tensor-parallel mesh width (spans processes when "
+                         "> local device count)")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -55,7 +58,7 @@ def main():
         f"{n_dev} global devices, expected "
         f"{args.local_devices * args.num_processes}"
     )
-    mesh = make_mesh(n_data=n_dev, n_model=1)
+    mesh = make_mesh(n_data=n_dev // args.n_model, n_model=args.n_model)
     cfg = speecht5_tiny()
     model, variables = init_model(cfg, jax.random.PRNGKey(0))
     trainer = Trainer(

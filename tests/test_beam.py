@@ -255,3 +255,76 @@ class TestStepsPerIter:
             np.testing.assert_allclose(
                 np.asarray(ref.scores), np.asarray(got.scores),
                 atol=1e-5, rtol=1e-5)
+
+
+class TestLMFusion:
+    """Shallow LM fusion inside the jitted beam loop (reference fairseq
+    lm_model branch: lprobs += lm_weight * lm_lprobs)."""
+
+    def _setup(self, lm_seed=3):
+        from dataclasses import replace
+        from speecht5_tpu.config import speecht5_tiny
+        from speecht5_tpu.models.speecht5 import init_model
+        from speecht5_tpu.models.lm import TransformerLM, lm_tiny
+
+        cfg = speecht5_tiny()
+        model, v = init_model(cfg, jax.random.PRNGKey(0))
+        lmcfg = replace(lm_tiny(), vocab_size=cfg.vocab_size,
+                        pad_id=cfg.pad_id)
+        lm = TransformerLM(lmcfg)
+        lm_v = lm.init(jax.random.PRNGKey(lm_seed),
+                       jnp.zeros((1, 8), jnp.int32))
+        return cfg, model, v, lm, lm_v
+
+    def test_lm_changes_decode(self):
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg, model, v, lm, lm_v = self._setup()
+        rng = np.random.default_rng(0)
+        wav = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000, 2500])
+        base = ASRDecoder(model, v, beam_size=3, max_len=8, ctc_weight=0.3)
+        fused = ASRDecoder(model, v, beam_size=3, max_len=8, ctc_weight=0.3,
+                           lm=lm, lm_variables=lm_v, lm_weight=0.5)
+        a, b = base(wav, lengths), fused(wav, lengths)
+        assert np.isfinite(np.asarray(b.scores)).all()
+        assert not np.array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    def test_dominant_lm_reproduces_lm_greedy(self):
+        """With lm_weight >> 1 and beam 1, the beam must walk the LM's own
+        greedy path (pad/blank suppressed like the decoder does)."""
+        from speecht5_tpu.decode.asr import ASRDecoder
+
+        cfg, model, v, lm, lm_v = self._setup()
+        rng = np.random.default_rng(1)
+        wav = jnp.asarray(rng.standard_normal((1, 4000)), jnp.float32) * 0.1
+        lengths = jnp.asarray([4000])
+        L = 6
+        dec = ASRDecoder(model, v, beam_size=1, max_len=L, ctc_weight=0.0,
+                         lm=lm, lm_variables=lm_v, lm_weight=50.0,
+                         min_len=L - 1)
+        res = dec(wav, lengths)
+        got = np.asarray(res.tokens)[0, 0]
+
+        # roll the LM greedily by hand from the same BOS (= eos id),
+        # suppressing pad/blank (+ eos while step < min_len, as beam does)
+        cache = lm.apply(lm_v, 1, L + 1, method="init_cache")
+        tok = jnp.full((1, 1), cfg.eos_id, jnp.int32)
+        want = [cfg.eos_id]
+        for step in range(L):
+            logits, cache = lm.apply(lm_v, tok, cache, method="decode_step")
+            lp = np.array(jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1))[0].copy()
+            lp[cfg.pad_id] = -np.inf
+            lp[cfg.blank_id] = -np.inf
+            if step < L - 1 - 1:
+                lp[cfg.eos_id] = -np.inf
+            # the beam force-terminates every live hypothesis with EOS at
+            # max_len; mirror it
+            nxt = cfg.eos_id if step == L - 1 else int(lp.argmax())
+            want.append(nxt)
+            if nxt == cfg.eos_id:
+                break
+            tok = jnp.full((1, 1), nxt, jnp.int32)
+        n = len(want)
+        np.testing.assert_array_equal(got[:n], want)

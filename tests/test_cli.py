@@ -289,3 +289,51 @@ def test_evaluate_data_parallel_matches(corpus):
     h2 = (corpus / "res_dp" / "hyps.txt").read_text()
     assert h1 == h2
     assert abs(single["value"] - dp["value"]) < 1e-9
+
+
+@pytest.mark.slow
+def test_evaluate_with_fusion_lm(corpus, tmp_path, capsys):
+    """evaluate --lm-ckpt: shallow LM fusion from the CLI (the reference's
+    --lm-path decode, SpeechT5/README.md:241-244).  A tiny randomly
+    initialized LM at small weight must run end-to-end and return a WER."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from speecht5_tpu.cli.train import main as train_main
+    from speecht5_tpu.cli.evaluate import main as eval_main
+    from speecht5_tpu.data.dictionary import Dictionary
+    from speecht5_tpu.models.lm import TransformerLM, lm_tiny
+    from speecht5_tpu.utils.checkpoint import CheckpointManager
+
+    common = [
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+    ]
+    save = tmp_path / "ckpt_lm"
+    train_main(common + [
+        "--task", "s2t", "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--mask-prob", "0", "--save-interval", "4", "--log-interval", "100",
+    ])
+    # tiny fusion LM over the same vocab, saved as a model item
+    vocab = len(Dictionary.load(
+        str(corpus / "dict.ltr.txt"),
+        extra_special_symbols=["<mask>", "<ctc_blank>"]))
+    lm = TransformerLM(replace(lm_tiny(), vocab_size=vocab))
+    lm_v = lm.init(jax.random.PRNGKey(7), jnp.zeros((1, 8), jnp.int32))
+    lm_dir = tmp_path / "lm_ckpt"
+    m = CheckpointManager(str(lm_dir))
+    m.save_model_only(1, lm_v)
+    m.wait()
+
+    result = eval_main(common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--beam", "2", "--max-len", "10", "--batch-size", "8",
+        "--lm-ckpt", str(lm_dir), "--lm-arch", "tiny",
+        "--lm-weight", "0.2",
+    ])
+    out = capsys.readouterr().out
+    assert "fusion LM loaded" in out
+    assert result["metric"] == "wer" and np.isfinite(result["value"])

@@ -92,6 +92,15 @@ class TestTwoProcessTraining:
         np.testing.assert_allclose(fsdp[0]["losses"], plain[0]["losses"],
                                    rtol=1e-4)
 
+    def test_tensor_parallel_two_process(self):
+        """Megatron-split params on a 4x2 mesh spanning two processes:
+        the TP collectives cross the gloo boundary and the losses still
+        match plain DP (looser tolerance — TP changes reduction order)."""
+        plain = _run_workers(2, 4)
+        tp = _run_workers(2, 4, extra=("--n-model", "2"))
+        np.testing.assert_allclose(tp[0]["losses"], plain[0]["losses"],
+                                   rtol=2e-3)
+
 
 class TestHelpers:
     def test_process_rows_single(self):
