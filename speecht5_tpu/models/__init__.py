@@ -22,3 +22,4 @@ __all__ = [
     "vallex_tiny", "init_vallex", "FastText2Unit", "fastspeech2_tiny",
     "init_fastspeech2",
 ]
+from .viola import VioLAModel, VioLAConfig, viola_tiny  # noqa: F401
