@@ -138,5 +138,47 @@ def main():
     }), flush=True)
 
 
+def conv_stack_bench():
+    """Fused conv-FE stack vs XLA conv chain at base-FE shapes (the
+    round-3 kernel; in-context step A/Bs rejected it — PERF.md §8 — this
+    is the isolated-kernel view)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    from speecht5_tpu.ops.pallas_kernels import (
+        conv_stack_pallas, _conv_stack_ref,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, C = 8, 32000, 512   # conv0 output geometry for 10 s audio
+    specs = ((3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2))
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.bfloat16)
+    ws = [jnp.asarray(rng.standard_normal((k, C, C)) * 0.02, jnp.bfloat16)
+          for k, _ in specs]
+
+    xla = jax.jit(lambda x: _conv_stack_ref(x, ws, specs))
+    pallas = jax.jit(lambda x: conv_stack_pallas(x, ws, specs))
+    t_xla = device_loop_time(
+        lambda x: x + jnp.pad(
+            xla(x).astype(x.dtype) * 1e-3,
+            ((0, 0), (0, T - xla(x).shape[1]), (0, 0))), x)
+    t_pl = device_loop_time(
+        lambda x: x + jnp.pad(
+            pallas(x).astype(x.dtype) * 1e-3,
+            ((0, 0), (0, T - pallas(x).shape[1]), (0, 0))), x)
+    ref = np.asarray(xla(x), np.float32)
+    got = np.asarray(pallas(x), np.float32)
+    err = float(np.abs(ref - got).max())
+    print(json.dumps({
+        "kernel": "conv_fe_stack_B8_T32k_C512",
+        "xla_ms": round(t_xla * 1e3, 3),
+        "pallas_ms": round(t_pl * 1e3, 3),
+        "speedup": round(t_xla / t_pl, 2),
+        "max_abs_err": round(err, 5),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    conv_stack_bench()
