@@ -50,6 +50,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # default "xla_gpu_per_fusion_autotune_cache_dir" embeds the ABSOLUTE
+    # cache path into the compile options and hence the cache key: a fresh
+    # checkout at any other path cold-misses the committed cache.  Disable
+    # the XLA-side cache so keys depend only on program + backend.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     import jax.numpy as jnp
 
     ph(f"devices: {jax.devices()}")
