@@ -337,3 +337,82 @@ def test_evaluate_with_fusion_lm(corpus, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "fusion LM loaded" in out
     assert result["metric"] == "wer" and np.isfinite(result["value"])
+
+
+@pytest.mark.slow
+def test_serve_asr_http(corpus, tmp_path):
+    """cli.serve: HTTP ASR endpoint over the jitted decoder — health check,
+    WAV round-trip, decode to text (contract test on a briefly trained
+    tiny model)."""
+    import http.client
+    import io
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+    import wave
+
+    from speecht5_tpu.cli.train import main as train_main
+
+    save = tmp_path / "ckpt_serve"
+    train_main([
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+        "--task", "s2t", "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--mask-prob", "0", "--save-interval", "4", "--log-interval", "100",
+    ])
+
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
+         "--task", "s2t", "--arch", "speecht5_tiny",
+         "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
+         "--port", "0", "--beam", "2", "--max-len", "8",
+         "--asr-buckets", "1", "--dtype", "float32"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        port = None
+        t0 = _time.time()
+        while _time.time() - t0 < 600:
+            line = proc.stdout.readline()
+            assert line, "server exited early"
+            if '"serving": true' in line:
+                port = json.loads(line)["port"]
+                break
+        assert port, "no serving line"
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        health = json.loads(r.read())
+        assert r.status == 200 and health["ok"] and health["asr"]
+
+        # round-trip a fixture utterance
+        wav_path = None
+        root = corpus / "audio"
+        wav_path = sorted(root.glob("*.wav"))[0]
+        body = wav_path.read_bytes()
+        conn.request("POST", "/asr", body=body,
+                     headers={"Content-Length": str(len(body))})
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert isinstance(out["text"], str)
+
+        # malformed body -> clean 500 with an error, server stays up
+        conn.request("POST", "/asr", body=b"notawav",
+                     headers={"Content-Length": "7"})
+        r = conn.getresponse()
+        assert r.status == 500 and "error" in json.loads(r.read())
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        proc.send_signal(_signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
