@@ -159,14 +159,12 @@ class Service:
         with self.lock:
             out = self.tts.text_to_speech(jnp.asarray(toks),
                                           jnp.asarray(spk))
-            if out.wav is not None:
-                n = int(np.asarray(out.wav_lengths)[0])
-                return np.asarray(out.wav)[0, :n]
-            # no vocoder: return Griffin-free placeholder (mel exists; a
-            # converted HiFi-GAN checkpoint enables real audio)
-            n = int(np.asarray(out.lengths)[0])
-            mel = np.asarray(out.mel)[0, :n]
-            return mel.mean(-1).repeat(256)  # envelope, debugging aid
+            if out.wav is None:
+                raise RuntimeError(
+                    "no vocoder loaded — start with --vocoder-ckpt "
+                    "(a converted HiFi-GAN checkpoint)")
+            n = int(np.asarray(out.wav_lengths)[0])
+            return np.asarray(out.wav)[0, :n]
 
 
 def make_handler(svc: Service):
