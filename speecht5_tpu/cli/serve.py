@@ -110,7 +110,7 @@ class Service:
 
             voc = voc_vars = None
             if args.vocoder_ckpt:
-                voc = HiFiGANGenerator(HiFiGANConfig())
+                voc = HiFiGANGenerator(HiFiGANConfig(in_dim=cfg.n_mels))
                 voc_tpl = voc.init(jax.random.PRNGKey(2),
                                    jnp.zeros((1, 8, cfg.n_mels)))
                 voc_vars, _ = CheckpointManager(

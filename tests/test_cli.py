@@ -416,3 +416,80 @@ def test_serve_asr_http(corpus, tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_serve_tts_http(corpus, tmp_path):
+    """cli.serve /tts: text -> in-graph HiFi-GAN -> WAV over HTTP (vocoder
+    loaded from a checkpoint dir)."""
+    import http.client
+    import io
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+    import wave
+
+    import jax
+    import jax.numpy as jnp
+
+    from speecht5_tpu.cli.train import main as train_main
+    from speecht5_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from speecht5_tpu.utils.checkpoint import CheckpointManager
+
+    save = tmp_path / "ckpt_tts_serve"
+    train_main([
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+        "--task", "t2s", "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--mask-prob", "0", "--save-interval", "4", "--log-interval", "100",
+    ])
+    # random vocoder checkpoint at serve's template topology (the default
+    # HiFiGANConfig; the converter would fill real weights)
+    n_mels = 20  # speecht5_tiny mel dim
+    voc = HiFiGANGenerator(HiFiGANConfig(in_dim=n_mels))
+    voc_vars = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, n_mels)))
+    voc_dir = tmp_path / "voc"
+    m = CheckpointManager(str(voc_dir))
+    m.save_model_only(1, voc_vars)
+    m.wait()
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
+         "--task", "t2s", "--arch", "speecht5_tiny",
+         "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
+         "--vocoder-ckpt", str(voc_dir),
+         "--port", "0", "--max-frames", "64", "--tts-bucket-tokens", "16",
+         "--dtype", "float32"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=dict(os.environ),
+    )
+    try:
+        port = None
+        t0 = _time.time()
+        while _time.time() - t0 < 600:
+            line = proc.stdout.readline()
+            assert line, "server exited early"
+            if '"serving": true' in line:
+                port = json.loads(line)["port"]
+                break
+        assert port, "no serving line"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"text": "HELLO WORLD"}).encode()
+        conn.request("POST", "/tts", body=body,
+                     headers={"Content-Length": str(len(body))})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()[:500]
+        assert r.getheader("Content-Type") == "audio/wav"
+        with wave.open(io.BytesIO(r.read())) as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() > 0
+    finally:
+        proc.send_signal(_signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
