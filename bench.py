@@ -149,8 +149,40 @@ def main():
        f"hyp len mean {hyp_lens.mean():.0f} max {steps} "
        f"-> {realtime_x:.0f}x realtime, MFU {decode_mfu*100:.1f}%")
 
-    # ---------------------------------------------------------------- TTS
+    # ------------------------------------------------------- CTC-only decode
+    # Encoder+CTC-head viterbi decode (no AR loop) — the reference SpeechLM
+    # eval contract (SpeechLM/speechlm/infer.py:29-33, infer_viterbi.yaml) and
+    # the throughput operating point for no-LM ASR: one MXU-bound encoder
+    # forward per batch, host-side greedy collapse.
     extras = {}
+    try:
+        from speecht5_tpu.decode.asr import CTCDecoder
+
+        ctc_dec = CTCDecoder(model, variables, blank_id=cfg.blank_id)
+        hyp_rows = ctc_dec(wavs[0], lengths)  # compile
+        ph("CTC greedy decode compiled")
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            hyp_rows = ctc_dec(wavs[1 + i], lengths)
+            ts.append(time.perf_counter() - t0)
+        ctc_dt = sorted(ts)[len(ts) // 2]
+        extras["ctc_decode_x_realtime"] = round(BATCH * AUDIO_SECONDS / ctc_dt, 1)
+        T_enc = cfg.conv_features.out_length(T)
+        enc_flops = (
+            F.conv_frontend_flops(cfg, BATCH, T)
+            + 2.0 * BATCH * T_enc * cfg.conv_features.layers[-1][0] * cfg.d_model
+            + F.encoder_flops(cfg.encoder, BATCH, T_enc)
+            + 2.0 * BATCH * T_enc * cfg.d_model * cfg.vocab_size
+        )
+        extras["ctc_decode_mfu"] = round(F.mfu(enc_flops, ctc_dt), 4)
+        ph(f"CTC greedy steady {ctc_dt*1000:.1f}ms/batch "
+           f"-> {extras['ctc_decode_x_realtime']:.0f}x realtime, "
+           f"MFU {extras['ctc_decode_mfu']*100:.1f}%")
+    except Exception as e:  # secondary metric; never lose the beam number
+        ph(f"CTC decode bench failed: {e!r}")
+
+    # ---------------------------------------------------------------- TTS
     try:
         # full-size HiFi-GAN v1 in the decode program: the RTF target includes
         # the vocoder (BASELINE.md; reference defers it to external torch)

@@ -66,6 +66,28 @@ def main(argv=None):
                         "average 10, SpeechT5/README.md:437-441)")
     p.add_argument("--metric", default="wer", choices=["wer", "bleu"],
                    help="s2t scoring: WER for ASR, corpus BLEU for ST")
+    p.add_argument("--decoder", default="beam",
+                   choices=["beam", "ctc_greedy", "ctc_lexicon"],
+                   help="s2t decode algorithm: 'beam' = joint CTC/attention "
+                        "AR beam search; 'ctc_greedy' = viterbi collapse of "
+                        "the encoder CTC posteriors (reference SpeechLM "
+                        "infer_viterbi.yaml); 'ctc_lexicon' = native "
+                        "lexicon-constrained CTC beam + word n-gram LM "
+                        "(reference flashlight/kenlm, "
+                        "SpeechLM/speechlm/infer.py:29-33,121)")
+    p.add_argument("--lexicon", default=None,
+                   help="lexicon file for --decoder ctc_lexicon: "
+                        "'word<TAB>tok1 tok2 ...' lines (prep "
+                        "letter-lexicon builds one from labels)")
+    p.add_argument("--lm-path", default=None,
+                   help="word n-gram LM for ctc_lexicon: ARPA text or a "
+                        "compiled binary (prep lm-binary / "
+                        "decode.lexicon.build_binary_lm)")
+    p.add_argument("--word-score", type=float, default=0.0,
+                   help="per-word insertion bonus for ctc_lexicon "
+                        "(reference decode config word_score)")
+    p.add_argument("--ctc-beam-size", type=int, default=50,
+                   help="beam width of the lexicon CTC decoder")
     p.add_argument("--override", action="append", default=[],
                    help="config field override, dotted path = literal, "
                         "repeatable (must match the training overrides)")
@@ -182,7 +204,71 @@ def main(argv=None):
     order = list(range(n))
     result = {}
 
-    if args.task == "s2t":
+    if args.task == "s2t" and args.decoder != "beam":
+        # encoder-only CTC decode (viterbi or lexicon+LM beam): the reference
+        # SpeechLM ASR eval stack (speechlm/infer.py + flashlight decoders)
+        from ..decode.asr import CTCDecoder
+
+        if ensemble:
+            raise SystemExit("--ensemble-last requires --decoder beam")
+        lexicon = None
+        if args.decoder == "ctc_lexicon":
+            from ..decode.lexicon import LexiconDecoder
+
+            if not args.lexicon:
+                raise SystemExit("--decoder ctc_lexicon needs --lexicon")
+            sep_id = dictionary.index("|")
+            if sep_id == dictionary.unk_index:
+                raise SystemExit("dictionary has no '|' word separator")
+            lexicon = LexiconDecoder(
+                args.lexicon, list(dictionary.symbols),
+                arpa_path=args.lm_path, blank=cfg.blank_id, sep=sep_id,
+                lm_weight=args.lm_weight, word_score=args.word_score,
+                beam=args.ctc_beam_size,
+            )
+        dec_vars, mesh = variables, None
+        if args.data_parallel:
+            from ..parallel.sharding import (
+                make_mesh, shard_decode_variables,
+            )
+
+            mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
+            if args.batch_size % len(jax.devices()) != 0:
+                raise SystemExit(
+                    f"--batch-size {args.batch_size} must be a multiple of "
+                    f"the device count {len(jax.devices())}"
+                )
+            dec_vars = shard_decode_variables(variables, mesh)
+        dec = CTCDecoder(model, dec_vars, blank_id=cfg.blank_id,
+                         lexicon=lexicon)
+        refs, hyps = [], []
+        for s in range(0, n, args.batch_size):
+            idxs = order[s : s + args.batch_size]
+            items = [ds[i] for i in idxs]
+            if mesh is not None and len(items) < args.batch_size:
+                items = items + [items[-1]] * (args.batch_size - len(items))
+            batch = ds.collate(items, cfg.eos_id, cfg.pad_id)
+            wav = jnp.asarray(batch["wav"])
+            wlen = jnp.asarray(batch["wav_lengths"])
+            if mesh is not None:
+                from ..parallel.sharding import shard_decode_batch
+
+                wav, wlen = shard_decode_batch((wav, wlen), mesh)
+            token_rows = dec(wav, wlen)
+            for b, i in enumerate(idxs):
+                hyp = letters_to_text(dictionary.string(token_rows[b]))
+                hyps.append(hyp)
+                refs.append(letters_to_text(ds.label_lines[i]))
+        scorer = corpus_bleu if args.metric == "bleu" else corpus_wer
+        result = {"metric": args.metric, "value": scorer(refs, hyps),
+                  "n_utts": n, "decoder": args.decoder}
+        if args.results_path:
+            with open(os.path.join(args.results_path, "hyps.txt"), "w") as f:
+                f.write("\n".join(hyps) + "\n")
+            with open(os.path.join(args.results_path, "refs.txt"), "w") as f:
+                f.write("\n".join(refs) + "\n")
+
+    elif args.task == "s2t":
         from ..decode.asr import ASRDecoder
 
         mesh = None

@@ -88,6 +88,24 @@ def main(argv=None):
     st.add_argument("--audio-root", default=None,
                     help="remap audio paths to <audio-root>/<basename>")
 
+    lx = sub.add_parser(
+        "letter-lexicon",
+        help="word transcripts -> letter-spelling lexicon for the "
+             "ctc_lexicon decoder (the role of the reference's "
+             "librispeech_lexicon.lst artifacts, SpeechLM/README.md:105-121)")
+    lx.add_argument("--input", "-i", required=True,
+                    help="word transcripts (.wrd) or word list, one per line")
+    lx.add_argument("--output", "-o", required=True,
+                    help="writes 'WORD<TAB>W O R D' lines, sorted, unique")
+
+    lb = sub.add_parser(
+        "lm-binary",
+        help="compile a text ARPA LM into the native decoder's binary "
+             "format (KenLM build_binary's role for the reference decode "
+             "recipes, SpeechLM/README.md:105-121)")
+    lb.add_argument("--arpa", required=True)
+    lb.add_argument("--out", required=True)
+
     t = sub.add_parser("t2u-manifest")
     t.add_argument("--audio-manifest", default=None,
                    help="<split>.audio.tsv; omit for text-only rows")
@@ -183,6 +201,22 @@ def main(argv=None):
         with open(args.out_labels, "w", encoding="utf-8") as f:
             f.write("\n".join(labels) + "\n")
         print(f"wrote {len(labels)} utterances")
+
+    elif args.cmd == "letter-lexicon":
+        words = set()
+        with open(args.input, encoding="utf-8") as fin:
+            for line in fin:
+                words.update(w for w in line.split() if w)
+        with open(args.output, "w", encoding="utf-8") as fout:
+            for w in sorted(words):
+                fout.write(w + "\t" + " ".join(w) + "\n")
+        print(f"wrote {len(words)} lexicon entries")
+
+    elif args.cmd == "lm-binary":
+        from ..decode.lexicon import build_binary_lm
+
+        build_binary_lm(args.arpa, args.out)
+        print(f"compiled {args.arpa} -> {args.out}")
 
     elif args.cmd == "t2u-manifest":
         if args.audio_manifest:

@@ -292,6 +292,55 @@ class ASRDecoder:
         )
 
 
+class CTCDecoder:
+    """Encoder-only CTC decode: one jitted encoder+CTC-head forward for the
+    whole batch, then host-side greedy collapse or the native lexicon+LM
+    beam decoder (csrc/ctc_beam.cpp).
+
+    This is the reference SpeechLM eval contract — hydra ``infer.py`` with
+    viterbi / flashlight-kenlm decoding over CTC emissions (reference
+    SpeechLM/speechlm/infer.py:29-33,121, config/decode/infer_viterbi.yaml,
+    infer_kenlm.yaml) — and the throughput path: no autoregressive loop, so
+    decode cost is one encoder forward (~MXU-bound) per batch.
+
+    ``lexicon``: a ``decode.lexicon.LexiconDecoder`` for mode="lexicon";
+    None selects greedy (viterbi) collapse.
+    """
+
+    def __init__(self, model, variables, *, blank_id: int,
+                 lexicon=None, encode_method: str = "encode_speech"):
+        self.model = model
+        self.variables = variables
+        self.blank_id = blank_id
+        self.lexicon = lexicon
+        self.encode_method = encode_method
+        self._enc = jax.jit(self._enc_impl)
+
+    def _enc_impl(self, variables, enc_args):
+        enc = self.model.apply(
+            variables, *enc_args, method=self.encode_method, with_ctc=True
+        )
+        lp = jax.nn.log_softmax(enc["ctc_logits"].astype(jnp.float32), axis=-1)
+        lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
+        return lp, lengths
+
+    def posteriors(self, *enc_args):
+        """[B, T, V] natural-log CTC posteriors + frame lengths (device)."""
+        return self._enc(self.variables, enc_args)
+
+    def __call__(self, *enc_args) -> list:
+        """Returns a list of B token-id lists (letters + word-sep tokens)."""
+        lp, lengths = self.posteriors(*enc_args)
+        if self.lexicon is None:
+            return greedy_ctc(lp, lengths, self.blank_id)
+        lp = np.asarray(lp)
+        lengths = np.asarray(lengths)
+        return [
+            self.lexicon.decode(lp[b, : int(lengths[b])])[0]
+            for b in range(lp.shape[0])
+        ]
+
+
 def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
     """Greedy CTC decode (collapse repeats, drop blanks) — the reference uses
     this for in-training WER (reference criterions/speech_to_text_loss.py:232-297).

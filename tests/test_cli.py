@@ -25,7 +25,7 @@ def corpus(tmp_path_factory):
     root.mkdir()
     rng = np.random.default_rng(0)
     labels = []
-    n = 4000
+    n = 6400  # ~20 conv-FE frames: slack for CTC alignments w/ doubled letters
     rows = []
     for i in range(N_UTTS):
         w = WORDS[i % len(WORDS)]
@@ -61,18 +61,49 @@ def test_train_then_evaluate_overfit(corpus):
     ]
     train_main(common + [
         "--task", "s2t", "--save-dir", str(save),
-        "--max-updates", "240", "--batch-size", "8",
+        "--max-updates", "320", "--batch-size", "8",
         "--lr", "2e-3", "--warmup", "40", "--mask-prob", "0",
-        "--label-smoothing", "0", "--save-interval", "240",
-        "--log-interval", "80",
+        "--label-smoothing", "0", "--save-interval", "320",
+        "--log-interval", "80", "--ctc-weight", "0.5",
     ])
     result = eval_main(common + [
         "--task", "s2t", "--ckpt", str(save),
         "--beam", "2", "--max-len", "10", "--batch-size", "8",
+        "--ctc-weight", "0.3",
     ])
     assert result["metric"] == "wer"
     assert result["n_utts"] == N_UTTS
     assert result["value"] < 0.10, f"overfit WER too high: {result}"
+
+    # encoder-only CTC decoders over the same checkpoint (the reference
+    # SpeechLM eval stack: infer_viterbi.yaml / flashlight lexicon decode).
+    # Greedy collapses HELLO -> HELO (the classic CTC doubled-letter failure
+    # when no blank lands between the L's); the lexicon decoder must recover
+    # it because HELO is not a word.
+    greedy = eval_main(common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--decoder", "ctc_greedy", "--batch-size", "8",
+    ])
+    assert greedy["decoder"] == "ctc_greedy"
+    assert greedy["value"] < 0.20, f"ctc_greedy WER too high: {greedy}"
+
+    from speecht5_tpu.data import native
+    if native.available():
+        from speecht5_tpu.cli.prep import main as prep_main
+
+        wrd = corpus / "words.wrd"
+        wrd.write_text("\n".join(WORDS) + "\n")
+        lex = corpus / "lexicon.txt"
+        prep_main(["letter-lexicon", "-i", str(wrd), "-o", str(lex)])
+        lexicon = eval_main(common + [
+            "--task", "s2t", "--ckpt", str(save),
+            "--decoder", "ctc_lexicon", "--lexicon", str(lex),
+            "--batch-size", "8",
+        ])
+        # lexicon-constrained decode matches the AR beam (WER 0) and beats
+        # greedy on the doubled-letter words
+        assert lexicon["value"] < 0.05, (greedy, lexicon)
+        assert lexicon["value"] <= greedy["value"], (greedy, lexicon)
 
 
 def test_validation_loop_with_ctc_wer(corpus, capsys):
