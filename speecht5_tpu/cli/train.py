@@ -30,16 +30,19 @@ def build_dataset(args, dictionary, cfg):
             normalize=args.normalize,
             max_sample_size=args.max_sample_size,
         )
+    dev_mel = bool(getattr(args, "device_mel", False))
     if args.task == "t2s":
         return M.TextToSpeechDataset(
             manifest=args.manifest, labels=args.labels, dictionary=dictionary,
             spkemb_dir=args.spkemb_dir,
             reduction_factor=cfg.reduction_factor, n_mels=cfg.n_mels,
+            device_mel=dev_mel,
         )
     if args.task == "s2s":
         return M.SpeechToSpeechDataset(
             manifest=args.manifest, normalize=args.normalize,
             reduction_factor=cfg.reduction_factor, n_mels=cfg.n_mels,
+            device_mel=dev_mel,
         )
     if args.task == "s2c":
         cm = getattr(args, "class_map", None)
@@ -53,7 +56,7 @@ def build_dataset(args, dictionary, cfg):
         return M.SpeechPretrainDataset(
             manifest=args.manifest, km_labels=args.labels,
             n_mels=cfg.n_mels, reduction_factor=cfg.reduction_factor,
-            normalize=args.normalize,
+            normalize=args.normalize, device_mel=dev_mel,
         )
     if args.task == "pretrain":
         # joint speech+text pretraining (reference tasks/speecht5.py:396-517)
@@ -220,6 +223,12 @@ def main(argv=None):
                         "the encoder freeze (reference "
                         "--no-freeze-encoder-layer)")
     p.add_argument("--normalize", action="store_true")
+    p.add_argument("--device-mel", action="store_true",
+                   help="t2s/s2s/pretrain_speech: compute log-mel targets "
+                        "IN-GRAPH from the raw waveform (fused Pallas "
+                        "kernel on TPU) instead of per-utterance host "
+                        "numpy — removes the host fbank from the input "
+                        "pipeline's critical path")
     p.add_argument("--mask-prob", type=float, default=None,
                    help="override HuBERT masking prob (e.g. 0 to disable)")
     p.add_argument("--dtype", default="float32")

@@ -56,6 +56,61 @@ def bucket_length(n: int, grid: Sequence[int]) -> int:
     return grid[-1]
 
 
+MEL_N_FFT, MEL_HOP = 1024, 256  # log_mel_numpy / device_log_mel defaults
+
+
+def collate_mel_targets(items, r: int, n_mels: int, bucketed: bool,
+                        device_mel: bool, wav_key: str = "tgt_wav_raw"
+                        ) -> Dict[str, np.ndarray]:
+    """Shared TTS-target collation for the t2s/s2s/pretrain datasets.
+
+    Host mode (device_mel=False): items carry a per-utterance ``mel``
+    (log_mel_numpy) — packs bucketed ``target_mel`` plus the r-thinned,
+    zero-BOS ``prev_mel`` (reference text_to_speech_dataset.py:228-283).
+
+    Device mode: items carry the raw target waveform under ``wav_key``; the
+    collator reflect-pads each utterance on the HOST (so on-device framing
+    with center=False reproduces the per-utterance librosa transform
+    exactly, independent of batch zero-padding) and emits ``tgt_wav``
+    [B, (mel_len-1)*hop + n_fft].  The train step turns it into
+    target_mel/prev_mel in-graph (train/trainer.py device_mel_batch) with
+    the fused Pallas kernel on TPU (ops/pallas_kernels.fused_log_mel).
+    """
+    B = len(items)
+    if device_mel:
+        frames = [1 + len(it[wav_key]) // MEL_HOP for it in items]
+        mel_len = max(frames)
+    else:
+        mel_len = max(it["mel"].shape[0] for it in items)
+    if bucketed:
+        mel_len = bucket_length(mel_len, FRAME_BUCKETS)
+    mel_len -= mel_len % r
+    dec_lengths = np.zeros((B,), np.int32)
+
+    if device_mel:
+        need = (mel_len - 1) * MEL_HOP + MEL_N_FFT
+        tgt = np.zeros((B, need), np.float32)
+        for b, it in enumerate(items):
+            x = np.pad(it[wav_key].astype(np.float32),
+                       (MEL_N_FFT // 2, MEL_N_FFT // 2), mode="reflect")
+            L = min(len(x), need)
+            tgt[b, :L] = x[:L]
+            dec_lengths[b] = min(frames[b], mel_len)
+        return {"tgt_wav": tgt, "dec_lengths": dec_lengths,
+                "dec_lengths_r": dec_lengths // r}
+
+    target_mel = np.zeros((B, mel_len, n_mels), np.float32)
+    prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
+    for b, it in enumerate(items):
+        m = it["mel"][:mel_len]
+        target_mel[b, : len(m)] = m
+        dec_lengths[b] = len(m)
+        thin = m[r - 1 :: r]           # every r-th frame (1-indexed r-1)
+        prev_mel[b, 1 : len(thin)] = thin[:-1]  # shifted, zero BOS
+    return {"target_mel": target_mel, "prev_mel": prev_mel,
+            "dec_lengths": dec_lengths, "dec_lengths_r": dec_lengths // r}
+
+
 def batch_by_size(
     sizes: np.ndarray,
     max_tokens: int,
@@ -163,6 +218,10 @@ class TextToSpeechDataset:
     spkemb_dir: Optional[str] = None   # .npy x-vectors parallel to utts
     reduction_factor: int = 2
     n_mels: int = 80
+    device_mel: bool = False   # targets as reflect-padded waveform; the
+                               # train step computes log-mel IN-GRAPH
+                               # (fused Pallas kernel on TPU) instead of
+                               # per-utterance host numpy
 
     def __post_init__(self):
         self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
@@ -173,9 +232,12 @@ class TextToSpeechDataset:
 
     def __getitem__(self, i: int) -> Dict:
         wav, sr = read_audio(os.path.join(self.root, self.names[i]))
-        mel = log_mel_numpy(wav, n_mels=self.n_mels)
         tokens = self.dictionary.encode_line(self.label_lines[i])
-        item = {"id": i, "tokens": np.asarray(tokens, np.int64), "mel": mel}
+        item = {"id": i, "tokens": np.asarray(tokens, np.int64)}
+        if self.device_mel:
+            item["tgt_wav_raw"] = wav.astype(np.float32)
+        else:
+            item["mel"] = log_mel_numpy(wav, n_mels=self.n_mels)
         if self.spkemb_dir:
             base = os.path.splitext(os.path.basename(self.names[i]))[0]
             item["spkemb"] = np.load(
@@ -186,21 +248,11 @@ class TextToSpeechDataset:
     def collate(self, items: List[Dict], eos_id: int, pad_id: int,
                 bucketed: bool = True) -> Dict[str, np.ndarray]:
         B = len(items)
-        r = self.reduction_factor
         tok_len = max(len(it["tokens"]) for it in items)
-        mel_len = max(it["mel"].shape[0] for it in items)
         if bucketed:
             tok_len = bucket_length(tok_len, TOKEN_BUCKETS)
-            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
-        mel_len -= mel_len % r
-        n_mels = items[0]["mel"].shape[1]
 
         tokens = np.full((B, tok_len), pad_id, np.int64)
-        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
-        dec_lengths = np.zeros((B,), np.int32)
-        # r-thinned AR input with zero-frame BOS (reference
-        # text_to_speech_dataset.py:241-248)
-        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
         spk = None
         if "spkemb" in items[0]:
             spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
@@ -208,18 +260,13 @@ class TextToSpeechDataset:
             t = it["tokens"]
             Lt = min(len(t), tok_len)  # clamp: utt may exceed top bucket
             tokens[b, :Lt] = t[:Lt]
-            m = it["mel"][:mel_len]
-            target_mel[b, : len(m)] = m
-            dec_lengths[b] = len(m)
-            thin = m[r - 1 :: r]           # every r-th frame (1-indexed r-1)
-            prev_mel[b, 1 : len(thin)] = thin[:-1]  # shifted, zero BOS
             if spk is not None:
                 spk[b] = it["spkemb"]
-        batch = {"tokens": tokens, "target_mel": target_mel,
-                 "dec_lengths": dec_lengths,
-                 "dec_lengths_r": dec_lengths // r,
-                 "prev_mel": prev_mel,
+        batch = {"tokens": tokens,
                  "ids": np.asarray([it["id"] for it in items])}
+        batch.update(collate_mel_targets(
+            items, self.reduction_factor, self.n_mels, bucketed,
+            self.device_mel))
         if spk is not None:
             batch["spkembs"] = spk
         return batch
@@ -330,8 +377,14 @@ class SpeechToSpeechDataset:
     n_mels: int = 80
     se_mode: bool = False   # SE: also emit the r-thinned SOURCE fbank as the
                             # decoder input (reference se_decoder_input=source)
+    device_mel: bool = False  # see TextToSpeechDataset.device_mel
 
     def __post_init__(self):
+        if self.device_mel and self.se_mode:
+            raise ValueError(
+                "device_mel does not cover se_mode (the SE source fbank "
+                "stays a host-side decoder input)"
+            )
         self.src_names, self.sizes = [], []
         self.tgt_names, self.spkembs = [], []
         with open(self.manifest, encoding="utf-8") as f:
@@ -354,12 +407,14 @@ class SpeechToSpeechDataset:
         if self.normalize:
             wav = layer_norm_wav(wav)
         tgt_wav, _ = read_audio(os.path.join(self.root, self.tgt_names[i]))
-        mel = log_mel_numpy(tgt_wav, n_mels=self.n_mels)
         spkemb = np.load(os.path.join(self.root, self.spkembs[i])).astype(
             np.float32
         )
-        item = {"id": i, "wav": wav.astype(np.float32), "mel": mel,
-                "spkemb": spkemb}
+        item = {"id": i, "wav": wav.astype(np.float32), "spkemb": spkemb}
+        if self.device_mel:
+            item["tgt_wav_raw"] = tgt_wav.astype(np.float32)
+        else:
+            item["mel"] = log_mel_numpy(tgt_wav, n_mels=self.n_mels)
         if self.se_mode:
             item["src_mel"] = log_mel_numpy(wav, n_mels=self.n_mels)
         return item
@@ -369,41 +424,29 @@ class SpeechToSpeechDataset:
         B = len(items)
         r = self.reduction_factor
         wav_len = max(len(it["wav"]) for it in items)
-        mel_len = max(it["mel"].shape[0] for it in items)
         if bucketed:
             wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
-            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
-        mel_len -= mel_len % r
-        n_mels = items[0]["mel"].shape[1]
 
         wav = np.zeros((B, wav_len), np.float32)
         wav_lengths = np.zeros((B,), np.int32)
-        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
-        dec_lengths = np.zeros((B,), np.int32)
-        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
-        src_mel = (np.zeros((B, mel_len // r, n_mels), np.float32)
-                   if self.se_mode else None)
         spk = np.zeros((B, len(items[0]["spkemb"])), np.float32)
         for b, it in enumerate(items):
             w = it["wav"][:wav_len]
             wav[b, : len(w)] = w
             wav_lengths[b] = len(w)
-            m = it["mel"][:mel_len]
-            target_mel[b, : len(m)] = m
-            dec_lengths[b] = len(m)
-            thin = m[r - 1 :: r]
-            prev_mel[b, 1 : len(thin)] = thin[:-1]
-            if src_mel is not None:
+            spk[b] = it["spkemb"]
+        batch = {"wav": wav, "wav_lengths": wav_lengths, "spkembs": spk,
+                 "ids": np.asarray([it["id"] for it in items])}
+        mel_batch = collate_mel_targets(
+            items, r, self.n_mels, bucketed, self.device_mel)
+        batch.update(mel_batch)
+        if self.se_mode:
+            mel_len = mel_batch["target_mel"].shape[1]
+            src_mel = np.zeros((B, mel_len // r, self.n_mels), np.float32)
+            for b, it in enumerate(items):
                 sthin = it["src_mel"][:mel_len][r - 1 :: r]
                 L = min(len(sthin), mel_len // r)
                 src_mel[b, :L] = sthin[:L]
-            spk[b] = it["spkemb"]
-        batch = {"wav": wav, "wav_lengths": wav_lengths,
-                 "target_mel": target_mel, "dec_lengths": dec_lengths,
-                 "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
-                 "spkembs": spk,
-                 "ids": np.asarray([it["id"] for it in items])}
-        if src_mel is not None:
             batch["src_mel"] = src_mel
         return batch
 
@@ -549,6 +592,7 @@ class SpeechPretrainDataset:
     pad_id: int = 1
     eos_id: int = 2
     unit_offset: int = 4
+    device_mel: bool = False  # see TextToSpeechDataset.device_mel
 
     def __post_init__(self):
         self.root, self.names, self.sizes = load_audio_manifest(self.manifest)
@@ -569,9 +613,12 @@ class SpeechPretrainDataset:
             ls = int(start * self.label_rate / self.sample_rate)
             le = ls + int(self.max_sample_size * self.label_rate / self.sample_rate)
             labels = labels[ls:le]
-        mel = log_mel_numpy(wav, n_mels=self.n_mels)
-        return {"id": i, "wav": wav.astype(np.float32), "labels": labels,
-                "mel": mel}
+        item = {"id": i, "wav": wav.astype(np.float32), "labels": labels}
+        if self.device_mel:
+            item["tgt_wav_raw"] = item["wav"]
+        else:
+            item["mel"] = log_mel_numpy(wav, n_mels=self.n_mels)
+        return item
 
     def collate(self, items: List[Dict], frame_fn, bucketed: bool = True
                 ) -> Dict[str, np.ndarray]:
@@ -582,18 +629,10 @@ class SpeechPretrainDataset:
         if bucketed:
             wav_len = bucket_length(wav_len, AUDIO_BUCKETS)
         frames = int(frame_fn(wav_len))
-        mel_len = max(it["mel"].shape[0] for it in items)
-        if bucketed:
-            mel_len = bucket_length(mel_len, FRAME_BUCKETS)
-        mel_len -= mel_len % r
-        n_mels = items[0]["mel"].shape[1]
 
         wav = np.zeros((B, wav_len), np.float32)
         wav_lengths = np.zeros((B,), np.int32)
         km = np.zeros((B, frames), np.int64)
-        target_mel = np.zeros((B, mel_len, n_mels), np.float32)
-        dec_lengths = np.zeros((B,), np.int32)
-        prev_mel = np.zeros((B, mel_len // r, n_mels), np.float32)
         for b, it in enumerate(items):
             w = it["wav"][:wav_len]
             wav[b, : len(w)] = w
@@ -602,15 +641,10 @@ class SpeechPretrainDataset:
             # speech_encoder_prenet.py:206-217): label_rate == frame rate here
             lab = it["labels"][:frames]
             km[b, : len(lab)] = lab
-            m = it["mel"][:mel_len]
-            target_mel[b, : len(m)] = m
-            dec_lengths[b] = len(m)
-            thin = m[r - 1 :: r]
-            prev_mel[b, 1 : len(thin)] = thin[:-1]
         batch = {"wav": wav, "wav_lengths": wav_lengths, "km_labels": km,
-                 "target_mel": target_mel, "dec_lengths": dec_lengths,
-                 "dec_lengths_r": dec_lengths // r, "prev_mel": prev_mel,
                  "ids": np.asarray([it["id"] for it in items])}
+        batch.update(collate_mel_targets(
+            items, r, self.n_mels, bucketed, self.device_mel))
         if self.add_decoder_target:
             seqs = []
             for b, it in enumerate(items):

@@ -92,7 +92,8 @@ def frame_signal(wav, n_fft: int, hop: int, center: bool = True):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop", "n_mels", "sr", "fmin", "fmax")
+    jax.jit,
+    static_argnames=("n_fft", "hop", "n_mels", "sr", "fmin", "fmax", "center"),
 )
 def log_mel_spectrogram(
     wav,
@@ -104,13 +105,19 @@ def log_mel_spectrogram(
     fmin: float = 80.0,
     fmax: float = 7600.0,
     eps: float = 1e-10,
+    center: bool = True,
 ):
     """[..., T] waveform -> [..., n_frames, n_mels] log10-mel, librosa parity.
 
     n_frames = 1 + T // hop (center=True).  All-matmul formulation: the framed
     signal is multiplied by windowed DFT bases, |mag| projected by the mel matrix.
+
+    center=False skips the reflect pad (n_frames = 1 + (T - n_fft) // hop):
+    the batched-training path reflect-pads each utterance on the host BEFORE
+    batch zero-padding (data/manifests.py device_mel), so valid frames stay
+    bit-compatible with the per-utterance host transform.
     """
-    frames = frame_signal(wav.astype(jnp.float32), n_fft, hop)
+    frames = frame_signal(wav.astype(jnp.float32), n_fft, hop, center=center)
     win = jnp.asarray(hann_window(n_fft))
     cos_b, sin_b = _dft_matrices(n_fft)
     frames = frames * win
@@ -124,6 +131,18 @@ def log_mel_spectrogram(
         mag, jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax)).T, precision=hi
     )
     return jnp.log10(jnp.maximum(eps, mel))
+
+
+def device_log_mel(wav, **kw):
+    """Batched [B, T] -> [B, frames, n_mels] on device: the fused Pallas
+    kernel on TPU (ops/pallas_kernels.fused_log_mel, one HBM pass), the
+    all-matmul XLA graph elsewhere.  Accepts the same kwargs as
+    ``log_mel_spectrogram`` (incl. ``center``)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import fused_log_mel
+
+        return fused_log_mel(wav, **kw)
+    return log_mel_spectrogram(wav, **kw)
 
 
 def log_mel_numpy(wav: np.ndarray, **kw) -> np.ndarray:

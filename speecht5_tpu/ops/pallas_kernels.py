@@ -92,7 +92,7 @@ def _mel_kernel(wav_rows_ref, cos_ref, sin_ref, mel_ref, out_ref, strip_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("sr", "n_fft", "hop", "n_mels", "fmin", "fmax", "eps",
-                     "block_frames"),
+                     "block_frames", "center"),
 )
 def fused_log_mel(
     wav,
@@ -105,12 +105,17 @@ def fused_log_mel(
     fmax: float = 7600.0,
     eps: float = 1e-10,
     block_frames: int = 128,
+    center: bool = True,
 ):
     """[B, T] waveform -> [B, 1 + T//hop, n_mels] log10-mel (librosa parity,
-    same contract as ops.mel.log_mel_spectrogram)."""
+    same contract as ops.mel.log_mel_spectrogram).
+
+    center=False: the caller already reflect-padded each utterance (the
+    device_mel train path, data/manifests.py) — frames = 1 + (T-n_fft)//hop.
+    """
     assert n_fft % hop == 0, "fused kernel needs hop | n_fft"
     B, T = wav.shape
-    n_frames = 1 + T // hop
+    n_frames = 1 + (T // hop if center else (T - n_fft) // hop)
     k_windows = n_fft // hop
 
     fb = block_frames
@@ -120,8 +125,9 @@ def fused_log_mel(
     # one shifted [rows, hop] view per window offset k (aligned kernel DMAs)
     rows = n_blocks * fb
     need = (rows + k_windows - 1) * hop
-    x = jnp.pad(wav.astype(jnp.float32), ((0, 0), (n_fft // 2, n_fft // 2)),
-                mode="reflect")
+    x = wav.astype(jnp.float32)
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     x = jnp.pad(x, ((0, 0), (0, max(0, need - x.shape[1]))))
     wav_rows = jnp.stack(
         [

@@ -28,6 +28,38 @@ from . import criterions
 from .schedules import inverse_sqrt, tri_stage, polynomial_decay
 
 
+def device_mel_batch(batch, n_mels: int, r: int):
+    """Materialize TTS mel targets IN-GRAPH from the collator's reflect-padded
+    target waveform (data/manifests.collate_mel_targets device mode).
+
+    The fbank runs on device — the fused Pallas kernel on TPU
+    (ops/pallas_kernels.fused_log_mel), the all-matmul XLA graph elsewhere —
+    replacing the reference's per-utterance host librosa transform inside the
+    dataset (reference data/text_to_speech_dataset.py:97-138).  center=False
+    because each utterance was already reflect-padded on the host, so valid
+    frames match the per-utterance transform exactly; frames past
+    ``dec_lengths`` are zeroed to reproduce the host collator bit-for-bit.
+    """
+    if "tgt_wav" not in batch:
+        return batch
+    from ..ops.mel import device_log_mel
+
+    batch = dict(batch)
+    mel = device_log_mel(batch.pop("tgt_wav"), n_mels=n_mels, center=False)
+    dec_len = batch["dec_lengths"]
+    valid = jnp.arange(mel.shape[1])[None, :] < dec_len[:, None]
+    mel = jnp.where(valid[:, :, None], mel, 0.0)
+    thin = mel[:, r - 1 :: r]
+    prev = jnp.concatenate(
+        [jnp.zeros_like(thin[:, :1]), thin[:, :-1]], axis=1
+    )
+    valid_r = (jnp.arange(prev.shape[1])[None, :]
+               < batch["dec_lengths_r"][:, None])
+    batch["target_mel"] = mel
+    batch["prev_mel"] = jnp.where(valid_r[:, :, None], prev, 0.0)
+    return batch
+
+
 @dataclass(frozen=True)
 class TrainConfig:
     lr: float = 1e-4
@@ -137,6 +169,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
         return loss, (metrics, extra)
 
     def t2s(params, extra, batch, rng, step):
+        batch = device_mel_batch(batch, mcfg.n_mels, mcfg.reduction_factor)
         variables = {"params": params, **extra}
         rngs = {"dropout": rng, "prenet": jax.random.fold_in(rng, 1),
                 "layerdrop": jax.random.fold_in(rng, 2)}
@@ -158,6 +191,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
         return loss, (metrics, {**extra, **updates})
 
     def pretrain_speech(params, extra, batch, rng, step):
+        batch = device_mel_batch(batch, mcfg.n_mels, mcfg.reduction_factor)
         variables = {"params": params, **extra}
         rngs = {"dropout": rng, "mask": jax.random.fold_in(rng, 1),
                 "layerdrop": jax.random.fold_in(rng, 2),
@@ -180,6 +214,7 @@ def _loss_for_task(model, task: str, cfg: TrainConfig,
         return loss, (metrics, {**extra, **updates})
 
     def s2s(params, extra, batch, rng, step):
+        batch = device_mel_batch(batch, mcfg.n_mels, mcfg.reduction_factor)
         variables = {"params": params, **extra}
         rngs = {"dropout": rng, "prenet": jax.random.fold_in(rng, 1),
                 "layerdrop": jax.random.fold_in(rng, 2)}
