@@ -108,10 +108,34 @@ def main():
     want = codes[0, :, 2 : 2 + gen.shape[-1]]
     acc = float((gen[0] == want).mean())
     assert acc > 0.9, f"synthesis diverged from the learned mapping: {acc}"
+
+    # --- codec decode: RVQ tokens -> waveform through the native EnCodec
+    # decoder (models/encodec.py) — the stage the reference defers to an
+    # external torch EnCodec.  Prompt + continuation decode as one stream.
+    from speecht5_tpu.models.encodec import EncodecConfig, init_encodec
+    from speecht5_tpu.data.audio import write_wav
+
+    ccfg = EncodecConfig(
+        num_filters=4, hidden_size=8, codebook_size=cfg.codebook_size,
+        num_quantizers=cfg.n_codebooks, upsampling_ratios=(4, 2),
+        num_lstm_layers=1, sampling_rate=16000,
+    )
+    codec, codec_vars = init_encodec(ccfg, jax.random.PRNGKey(7))
+    full = np.concatenate([np.asarray(prompt), gen], axis=-1)
+    wav = np.asarray(jax.jit(
+        lambda v, c: codec.apply(v, c, method="decode_codes")
+    )(codec_vars, jnp.asarray(full)))
+    assert wav.shape == (1, full.shape[-1] * ccfg.hop_length)
+    assert np.isfinite(wav).all()
+    write_wav("vallex_tts.wav", wav[0] / max(1e-6, np.abs(wav).max()),
+              sr=ccfg.sampling_rate)
+
     print(json.dumps({"done": True, "steps": args.steps,
                       "ar_nll": round(last["ar_nll"], 4),
                       "nar_nll": round(last["nar_nll"], 4),
                       "synthesis_code_accuracy": round(acc, 3),
+                      "wav": "vallex_tts.wav",
+                      "wav_samples": int(wav.shape[-1]),
                       "wall_s": round(time.time() - t0, 1)}), flush=True)
 
 

@@ -145,7 +145,35 @@ def main():
     st_ok = np.asarray(out2)[0][: len(st_want)].tolist() == st_want
     assert st_ok and all(v == 1.0 for v in acc.values()), (acc, st_ok)
 
+    # --- TTS waveform: decode the generated acoustic codes through the
+    # native EnCodec decoder (models/encodec.py; low-bandwidth single-
+    # codebook stream — the paper's NAR codebook-filling stage is VALL-E X's,
+    # recipes/vallex_tts.py demonstrates the multi-codebook path)
+    from speecht5_tpu.models.encodec import EncodecConfig, init_encodec
+    from speecht5_tpu.data.audio import write_wav
+
+    tts_prefix, tts_want = continuation(rows[2][0])      # a TTS row
+    out3, lens3 = model.apply({"params": params}, jnp.asarray(tts_prefix),
+                              max_new=len(tts_want) + 1, method="generate")
+    tts_codes = (np.asarray(out3)[0][: int(np.asarray(lens3)[0])]
+                 - cfg.code0).clip(0, cfg.codebook_size - 1)
+    ccfg = EncodecConfig(
+        num_filters=4, hidden_size=8, codebook_size=cfg.codebook_size,
+        num_quantizers=1, upsampling_ratios=(4, 2), num_lstm_layers=1,
+        sampling_rate=16000,
+    )
+    codec, codec_vars = init_encodec(ccfg, jax.random.PRNGKey(11))
+    wav = np.asarray(codec.apply(
+        codec_vars, jnp.asarray(tts_codes, jnp.int32)[None, None, :],
+        method="decode_codes"))
+    assert wav.shape == (1, len(tts_codes) * ccfg.hop_length)
+    assert np.isfinite(wav).all()
+    write_wav("viola_tts.wav", wav[0] / max(1e-6, np.abs(wav).max()),
+              sr=ccfg.sampling_rate)
+
     print(json.dumps({"done": True, "steps": args.steps,
+                      "wav": "viola_tts.wav",
+                      "wav_samples": int(wav.shape[-1]),
                       "lm_loss_first": round(first, 3),
                       "lm_loss_last": round(float(loss), 4),
                       "gen_exact_match": {k: round(v, 3)

@@ -422,3 +422,93 @@ def load_hf_checkpoint(model_or_path, dtype: str = "float32"):
         variables["batch_stats"] = batch_stats
     cfg = hf_config_to_ours(model.config, dtype=dtype)
     return cfg, variables, unknown
+
+
+# ------------------------------------------------------------------ EnCodec
+
+
+def convert_encodec(state_dict: Dict[str, np.ndarray], cfg) -> dict:
+    """transformers.EncodecModel state_dict -> models/encodec.py variables.
+
+    Weight-norm parametrizations stay split (original0 -> weight_g,
+    original1 -> weight_v); layouts move to flax [k, in, out] kernels.
+    ``cfg`` is our models.encodec.EncodecConfig and must match the HF
+    topology (the parity test constructs both from the same numbers).
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in state_dict.items()}
+
+    def conv(prefix):
+        """HF EncodecConv1d -> {weight_v, weight_g, bias}."""
+        v = sd[f"{prefix}.conv.parametrizations.weight.original1"]
+        g = sd[f"{prefix}.conv.parametrizations.weight.original0"]
+        return {
+            "weight_v": v.transpose(2, 1, 0),        # (out,in,k)->(k,in,out)
+            "weight_g": g.reshape(-1),
+            "bias": sd[f"{prefix}.conv.bias"],
+        }
+
+    def convt(prefix):
+        """HF EncodecConvTranspose1d (in,out,k) -> flax [k, in, out]."""
+        v = sd[f"{prefix}.conv.parametrizations.weight.original1"]
+        g = sd[f"{prefix}.conv.parametrizations.weight.original0"]
+        return {
+            "weight_v": v.transpose(2, 0, 1),
+            "weight_g": g.reshape(-1),
+            "bias": sd[f"{prefix}.conv.bias"],
+        }
+
+    def lstm(prefix, num_layers):
+        out = {}
+        for l in range(num_layers):
+            for nm in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                out[f"{nm}_l{l}"] = sd[f"{prefix}.lstm.{nm}_l{l}"]
+        return out
+
+    def resblock(prefix):
+        return {
+            "block_conv1": conv(f"{prefix}.block.1"),
+            "block_conv2": conv(f"{prefix}.block.3"),
+            "shortcut": conv(f"{prefix}.shortcut"),
+        }
+
+    n_res = cfg.num_residual_layers
+
+    # decoder layer indices mirror the HF constructor's sequential list
+    dec = {}
+    idx = 0
+    dec["conv_in"] = conv(f"decoder.layers.{idx}")
+    idx += 1
+    dec["lstm"] = lstm(f"decoder.layers.{idx}", cfg.num_lstm_layers)
+    idx += 1
+    for i, _ratio in enumerate(cfg.upsampling_ratios):
+        idx += 1                                     # ELU
+        dec[f"up{i}"] = convt(f"decoder.layers.{idx}")
+        idx += 1
+        for j in range(n_res):
+            dec[f"res{i}_{j}"] = resblock(f"decoder.layers.{idx}")
+            idx += 1
+    idx += 1                                         # ELU
+    dec["conv_out"] = conv(f"decoder.layers.{idx}")
+
+    enc = {}
+    idx = 0
+    enc["conv_in"] = conv(f"encoder.layers.{idx}")
+    idx += 1
+    for i, _ratio in enumerate(reversed(cfg.upsampling_ratios)):
+        for j in range(n_res):
+            enc[f"res{i}_{j}"] = resblock(f"encoder.layers.{idx}")
+            idx += 1
+        idx += 1                                     # ELU
+        enc[f"down{i}"] = conv(f"encoder.layers.{idx}")
+        idx += 1
+    enc["lstm"] = lstm(f"encoder.layers.{idx}", cfg.num_lstm_layers)
+    idx += 2                                         # lstm + ELU
+    enc["conv_out"] = conv(f"encoder.layers.{idx}")
+
+    embed = np.stack([
+        sd[f"quantizer.layers.{q}.codebook.embed"]
+        for q in range(cfg.num_quantizers)
+    ])
+    return {"params": {
+        "decoder": dec, "encoder": enc, "quantizer": {"embed": embed},
+    }}
