@@ -11,8 +11,14 @@ dependency-free HTTP server so a converted checkpoint answers requests:
 Design notes (single chip):
 - requests are padded to a fixed bucket grid so every shape compiles ONCE
   at startup (static shapes; no compile on the request path);
-- device access is serialized with a lock — one program in flight, the
-  jitted batch path stays available for offline throughput;
+- audio longer than the largest bucket is decoded in overlapping chunks and
+  the transcripts joined (never silently truncated); text longer than the
+  TTS bucket is rejected with HTTP 413;
+- concurrent /asr requests are micro-batched: a collector thread gathers up
+  to --max-batch same-bucket requests inside --batch-window-ms and decodes
+  them as ONE device program (the batched beam path), so serving throughput
+  rides the same whole-batch decode as offline eval;
+- device access is serialized with a lock — one program in flight;
 - the reference has no serving story at all (inference = fairseq-generate
   batch jobs, SURVEY.md L5/L6).
 
@@ -38,6 +44,10 @@ import numpy as np
 # bucket is one compiled program, warmed at startup
 ASR_BUCKETS_S = (4, 8, 16)
 SR = 16000
+
+
+class RequestTooLarge(Exception):
+    """Mapped to HTTP 413 — the request exceeds a configured hard cap."""
 
 
 def _parse_wav(body: bytes) -> np.ndarray:
@@ -92,6 +102,12 @@ class Service:
 
         self.asr = None
         self.tts = None
+        self.max_batch = max(1, args.max_batch)
+        self.batch_window_s = args.batch_window_ms / 1000.0
+        self.asr_calls = 0      # device programs launched
+        self.asr_requests = 0   # chunks decoded (>= calls under batching)
+        self._queue = []
+        self._queue_cv = threading.Condition()
         if args.task in ("s2t", "both"):
             from ..decode.asr import ASRDecoder
 
@@ -99,11 +115,16 @@ class Service:
                 model, self.variables, beam_size=args.beam,
                 max_len=args.max_len, ctc_weight=args.ctc_weight,
             )
+            batch_sizes = {1, self.max_batch}
             for secs in self.buckets():
-                wav = jnp.zeros((1, secs * SR), jnp.float32)
-                res = self.asr(wav, jnp.full((1,), secs * SR, jnp.int32))
-                jax.block_until_ready(res.tokens)
-                print(f"warmed ASR bucket {secs}s", flush=True)
+                for bs in sorted(batch_sizes):
+                    wav = jnp.zeros((bs, secs * SR), jnp.float32)
+                    res = self.asr(wav, jnp.full((bs,), secs * SR, jnp.int32))
+                    jax.block_until_ready(res.tokens)
+                    print(f"warmed ASR bucket {secs}s batch {bs}", flush=True)
+            if self.max_batch > 1:
+                t = threading.Thread(target=self._batcher_loop, daemon=True)
+                t.start()
         if args.task in ("t2s", "both"):
             from ..decode.tts import TTSDecoder
             from ..models.hifigan import HiFiGANConfig, HiFiGANGenerator
@@ -130,22 +151,118 @@ class Service:
         return [int(s) for s in self.args.asr_buckets.split(",")]
 
     # ------------------------------------------------------------------ ops
-    def transcribe(self, wav: np.ndarray) -> str:
-        jnp = self._jnp
+    def _chunk(self, wav: np.ndarray):
+        """Split audio into the bucket grid: one chunk when it fits, else
+        overlapping windows of the largest bucket (hop = bucket - overlap)
+        so nothing is dropped."""
         n = len(wav)
+        top = self.buckets()[-1] * SR
+        if n <= top:
+            return [wav]
+        if self.args.max_audio_s and n > self.args.max_audio_s * SR:
+            raise RequestTooLarge(
+                f"audio is {n / SR:.1f}s; --max-audio-s "
+                f"{self.args.max_audio_s}"
+            )
+        overlap = int(self.args.chunk_overlap_s * SR)
+        hop = max(top - overlap, 1)
+        chunks = []
+        for start in range(0, n, hop):
+            chunks.append(wav[start : start + top])
+            if start + top >= n:
+                break
+        return chunks
+
+    def _decode_batch(self, wavs, lengths):
+        """One device program over a padded same-bucket batch (caller picks
+        the rows); returns the detokenized texts."""
+        jnp = self._jnp
+        with self.lock:
+            res = self.asr(jnp.asarray(wavs),
+                           jnp.asarray(lengths, jnp.int32))
+            toks = np.asarray(res.tokens)[:, 0]
+            lens = np.asarray(res.lengths)[:, 0]
+            self.asr_calls += 1
+            self.asr_requests += len(wavs)
+        out = []
+        for b in range(len(wavs)):
+            hyp_ids = toks[b, 1 : max(int(lens[b]) - 1, 1)]
+            out.append(self._letters_to_text(self.dictionary.string(hyp_ids)))
+        return out
+
+    def _bucket_for(self, n: int) -> int:
         secs = next((s for s in self.buckets() if s * SR >= n),
                     self.buckets()[-1])
-        T = secs * SR
-        wav = wav[:T]
+        return secs * SR
+
+    def _decode_one(self, wav: np.ndarray) -> str:
+        T = self._bucket_for(len(wav))
         padded = np.zeros((1, T), np.float32)
-        padded[0, : len(wav)] = wav
-        with self.lock:
-            res = self.asr(jnp.asarray(padded),
-                           jnp.full((1,), len(wav), jnp.int32))
-            toks = np.asarray(res.tokens)[0, 0]
-            length = int(np.asarray(res.lengths)[0, 0])
-        hyp_ids = toks[1 : max(length - 1, 1)]
-        return self._letters_to_text(self.dictionary.string(hyp_ids))
+        padded[0, : len(wav)] = wav[:T]
+        return self._decode_batch(padded, [min(len(wav), T)])[0]
+
+    # --------------------------------------------------- micro-batching
+    def _submit(self, wav: np.ndarray) -> str:
+        """Enqueue one bucket-sized chunk; the collector thread batches
+        same-bucket requests into one program."""
+        if self.max_batch <= 1:
+            return self._decode_one(wav)
+        slot = {"event": threading.Event(), "wav": wav,
+                "bucket": self._bucket_for(len(wav)), "text": None}
+        with self._queue_cv:
+            self._queue.append(slot)
+            self._queue_cv.notify()
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["text"]
+
+    def _batcher_loop(self):
+        import time as _time
+
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                first = self._queue[0]
+            # small collection window for co-arriving requests
+            deadline = _time.monotonic() + self.batch_window_s
+            while _time.monotonic() < deadline:
+                with self._queue_cv:
+                    same = [s for s in self._queue
+                            if s["bucket"] == first["bucket"]]
+                    if len(same) >= self.max_batch:
+                        break
+                _time.sleep(self.batch_window_s / 10)
+            with self._queue_cv:
+                group = [s for s in self._queue
+                         if s["bucket"] == first["bucket"]][: self.max_batch]
+                for s in group:
+                    self._queue.remove(s)
+            T = first["bucket"]
+            # pad the row count to a warmed program size (1 or max_batch):
+            # padded rows decode garbage that is never read back
+            rows = 1 if len(group) == 1 else self.max_batch
+            wavs = np.zeros((rows, T), np.float32)
+            lengths = np.full((rows,), T, np.int64)
+            for b, s in enumerate(group):
+                w = s["wav"][:T]
+                wavs[b, : len(w)] = w
+                lengths[b] = len(w)
+            try:
+                texts = self._decode_batch(wavs, lengths)
+                for b, s in enumerate(group):
+                    s["text"] = texts[b]
+            except Exception as e:  # noqa: BLE001 — deliver to the waiters
+                for s in group:
+                    s["error"] = e
+            finally:
+                for s in group:
+                    s["event"].set()
+
+    def transcribe(self, wav: np.ndarray) -> str:
+        texts = [self._submit(c) for c in self._chunk(wav)]
+        return " ".join(t for t in texts if t).strip()
 
     def synthesize(self, text: str) -> np.ndarray:
         jnp = self._jnp
@@ -153,8 +270,12 @@ class Service:
         ids = self.dictionary.encode_line(
             " ".join(list(text.upper().replace(" ", "|"))))
         L = self.args.tts_bucket_tokens
+        if len(ids) > L:
+            raise RequestTooLarge(
+                f"text tokenizes to {len(ids)} ids; --tts-bucket-tokens {L}"
+            )
         toks = np.full((1, L), cfg.pad_id, np.int32)
-        toks[0, : min(len(ids), L)] = ids[:L]
+        toks[0, : len(ids)] = ids
         spk = np.zeros((1, cfg.spk_embed_dim), np.float32)
         with self.lock:
             out = self.tts.text_to_speech(jnp.asarray(toks),
@@ -187,6 +308,9 @@ def make_handler(svc: Service):
                     "asr": svc.asr is not None,
                     "tts": svc.tts is not None,
                     "asr_buckets_s": svc.buckets(),
+                    "max_batch": svc.max_batch,
+                    "asr_calls": svc.asr_calls,
+                    "asr_requests": svc.asr_requests,
                 })
             else:
                 self._json(404, {"error": "not found"})
@@ -213,6 +337,8 @@ def make_handler(svc: Service):
                     self.wfile.write(data)
                     return
                 self._json(404, {"error": "not found"})
+            except RequestTooLarge as e:
+                self._json(413, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — surface to the client
                 self._json(500, {"error": repr(e)})
 
@@ -235,6 +361,19 @@ def main(argv=None):
     p.add_argument("--tts-bucket-tokens", type=int, default=128)
     p.add_argument("--asr-buckets", default=",".join(
         str(s) for s in ASR_BUCKETS_S))
+    p.add_argument("--max-batch", type=int, default=1,
+                   help="micro-batch up to N concurrent same-bucket /asr "
+                        "requests into one device program (compiles batch "
+                        "sizes 1 and N per bucket at startup)")
+    p.add_argument("--batch-window-ms", type=float, default=20.0,
+                   help="how long the collector waits for co-arriving "
+                        "requests before launching a partial batch")
+    p.add_argument("--chunk-overlap-s", type=float, default=0.5,
+                   help="overlap between decode windows when audio exceeds "
+                        "the largest bucket (chunked, never truncated)")
+    p.add_argument("--max-audio-s", type=float, default=120.0,
+                   help="hard cap on /asr audio length -> HTTP 413 "
+                        "(0 disables)")
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args(argv)
 

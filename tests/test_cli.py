@@ -402,7 +402,9 @@ def test_serve_asr_http(corpus, tmp_path):
          "--task", "s2t", "--arch", "speecht5_tiny",
          "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
          "--port", "0", "--beam", "2", "--max-len", "8",
-         "--asr-buckets", "1", "--dtype", "float32"],
+         "--asr-buckets", "1", "--dtype", "float32",
+         "--max-batch", "3", "--batch-window-ms", "150",
+         "--chunk-overlap-s", "0.25", "--max-audio-s", "4"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
     )
     try:
@@ -441,6 +443,64 @@ def test_serve_asr_http(corpus, tmp_path):
         assert r.status == 500 and "error" in json.loads(r.read())
         conn.request("GET", "/healthz")
         assert conn.getresponse().status == 200
+
+        def wav_bytes(seconds):
+            import numpy as _np
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                t = _np.arange(int(seconds * 16000)) / 16000.0
+                pcm = (0.2 * _np.sin(2 * _np.pi * 300 * t) * 32767)
+                w.writeframes(pcm.astype(_np.int16).tobytes())
+            return buf.getvalue()
+
+        def post(body, timeout=300):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+            c.request("POST", "/asr", body=body,
+                      headers={"Content-Length": str(len(body))})
+            r = c.getresponse()
+            return r.status, json.loads(r.read())
+
+        # audio past the largest bucket (1s) is chunked, NOT truncated:
+        # 2.5s with 0.25s overlap -> 3 windows, all decoded, 200 OK
+        conn.request("GET", "/healthz")
+        before = json.loads(conn.getresponse().read())
+        status, out = post(wav_bytes(2.5))
+        assert status == 200 and isinstance(out["text"], str)
+        conn.request("GET", "/healthz")
+        after = json.loads(conn.getresponse().read())
+        assert after["asr_requests"] - before["asr_requests"] >= 3
+
+        # over the --max-audio-s cap -> 413, never a partial 200
+        status, out = post(wav_bytes(5.0))
+        assert status == 413 and "error" in out
+
+        # micro-batching: concurrent same-bucket requests coalesce into
+        # fewer device programs than requests
+        import threading as _threading
+        conn.request("GET", "/healthz")
+        before = json.loads(conn.getresponse().read())
+        results = [None] * 3
+        body1 = wav_bytes(0.9)
+
+        def worker(i):
+            results[i] = post(body1)
+
+        threads = [_threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r[0] == 200 for r in results), results
+        conn.request("GET", "/healthz")
+        after = json.loads(conn.getresponse().read())
+        dreq = after["asr_requests"] - before["asr_requests"]
+        dcall = after["asr_calls"] - before["asr_calls"]
+        assert dreq == 3
+        assert dcall < dreq, (before, after)
     finally:
         proc.send_signal(_signal.SIGTERM)
         try:
@@ -518,6 +578,15 @@ def test_serve_tts_http(corpus, tmp_path):
         with wave.open(io.BytesIO(r.read())) as w:
             assert w.getframerate() == 16000
             assert w.getnframes() > 0
+
+        # text past --tts-bucket-tokens -> 413, never a silent truncation
+        long_body = json.dumps({"text": "HELLO WORLD " * 20}).encode()
+        conn.request("POST", "/tts", body=long_body,
+                     headers={"Content-Length": str(len(long_body))})
+        r = conn.getresponse()
+        body413 = r.read()
+        assert r.status == 413, body413[:200]
+        assert "error" in json.loads(body413)
     finally:
         proc.send_signal(_signal.SIGTERM)
         try:
