@@ -38,6 +38,35 @@ def log_add(a: float, b: float) -> float:
     return m + math.log1p(math.exp(min(a, b) - m))
 
 
+def _open_arpa(path: str):
+    """Open an ARPA file, transparently decompressing ``.gz`` (the reference
+    decode recipe ships OpenSLR's 4-gram.arpa.gz,
+    reference SpeechLM/README.md:105)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def materialize_arpa(path: str) -> str:
+    """Return a plain-text ARPA path for the native decoder: gzipped input
+    is decompressed once to a sibling temp file (cached by mtime)."""
+    if not path.endswith(".gz"):
+        return path
+    import gzip
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"s5_arpa_{abs(hash((os.path.abspath(path), os.path.getmtime(path))))}.arpa",
+    )
+    if not os.path.exists(out):
+        with gzip.open(path, "rb") as f, open(out, "wb") as o:
+            o.write(f.read())
+    return out
+
+
 class NGramLM:
     """Backoff word n-gram LM from a standard ARPA file (natural log)."""
 
@@ -45,7 +74,7 @@ class NGramLM:
         self.grams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
         self.order = 0
         cur = 0
-        with open(path, encoding="utf-8") as f:
+        with _open_arpa(path) as f:
             for line in f:
                 line = line.strip()
                 if not line:
@@ -236,6 +265,8 @@ class LexiconDecoder:
         varr = (ctypes.c_char_p * len(vocab))(
             *[v.encode() for v in vocab]
         )
+        if arpa_path:
+            arpa_path = materialize_arpa(arpa_path)
         self._h = lib.lexdec_create(
             lexicon_path.encode(),
             (arpa_path or "").encode(),

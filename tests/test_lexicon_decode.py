@@ -275,3 +275,37 @@ class TestBinaryLM:
         with pytest.raises(RuntimeError, match="failed"):
             build_binary_lm(str(tmp_path / "absent.arpa"),
                             str(tmp_path / "o.bin"))
+
+
+class TestGzippedArpa:
+    """OpenSLR ships 4-gram.arpa.gz; both LM loaders accept it directly
+    (reference SpeechLM/README.md:105 decode recipe artifact)."""
+
+    def test_python_lm_reads_gz(self, arpa, tmp_path):
+        import gzip
+        import shutil
+
+        gz = str(tmp_path / "lm.arpa.gz")
+        with open(arpa, "rb") as f, gzip.open(gz, "wb") as o:
+            shutil.copyfileobj(f, o)
+        a, b = NGramLM(arpa), NGramLM(gz)
+        assert a.order == b.order
+        assert a.grams == b.grams
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_native_decoder_reads_gz(self, lexicon_file, arpa, tmp_path, rng):
+        import gzip
+        import shutil
+
+        gz = str(tmp_path / "lm.arpa.gz")
+        with open(arpa, "rb") as f, gzip.open(gz, "wb") as o:
+            shutil.copyfileobj(f, o)
+        kw = dict(blank=BLANK, sep=SEP, lm_weight=1.5, word_score=-0.3,
+                  beam=30)
+        dec_a = LexiconDecoder(lexicon_file, VOCAB, arpa_path=arpa, **kw)
+        dec_b = LexiconDecoder(lexicon_file, VOCAB, arpa_path=gz, **kw)
+        for _ in range(5):
+            T = int(rng.integers(3, 9))
+            e = rng.random((T, 4)) + 1e-3
+            lp = np.log(e / e.sum(-1, keepdims=True)).astype(np.float32)
+            assert dec_a.decode(lp) == dec_b.decode(lp)
