@@ -154,3 +154,64 @@ class HiFiGANGenerator(nn.Module):
         x = jax.nn.leaky_relu(x, cfg.leaky_slope)
         x = WNConv1d(1, 7, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
+
+
+@dataclass(frozen=True)
+class CodeHiFiGANConfig:
+    """Unit-conditioned vocoder (the S2ST chain's code-HiFi-GAN: discrete
+    unit embedding -> generator; reference Speech2S decodes units with
+    fairseq speech-resynthesis CodeHiFiGAN,
+    stpretrain_scripts/decode_text2code_beam2.sh + eval2.sh)."""
+
+    num_units: int = 1000
+    embed_dim: int = 128
+    dur_predictor: bool = False   # reduced (deduped) units need re-expansion
+    max_duration: int = 8         # static cap so expansion stays jittable
+    generator: HiFiGANConfig = HiFiGANConfig(
+        in_dim=128, normalize_before=False
+    )
+
+
+class CodeHiFiGAN(nn.Module):
+    """units [B, T] int32 -> waveform [B, T * hop] (hop = prod(upsample)).
+
+    With ``dur_predictor`` the reduced unit stream is first re-expanded:
+    a small conv stack predicts a per-unit duration, and embeddings are
+    repeated via a cumsum gather with a STATIC output length
+    (T * max_duration) — dynamic repeat_interleave would break jit.
+    ``unit_valid`` masks padding units (excluded from expansion).
+    """
+
+    cfg: CodeHiFiGANConfig = CodeHiFiGANConfig()
+
+    @nn.compact
+    def __call__(self, units, unit_valid=None, *, predict_duration=None):
+        cfg = self.cfg
+        if predict_duration is None:
+            predict_duration = cfg.dur_predictor
+        x = nn.Embed(cfg.num_units, cfg.embed_dim, name="unit_embed")(units)
+        if unit_valid is None:
+            unit_valid = jnp.ones(units.shape, bool)
+        if predict_duration:
+            h = WNConv1d(cfg.embed_dim, 3, name="dur_conv1")(x)
+            h = jax.nn.relu(h)
+            h = WNConv1d(cfg.embed_dim, 3, name="dur_conv2")(h)
+            dur_f = nn.Dense(1, name="dur_proj")(h)[..., 0]
+            dur = jnp.clip(
+                jnp.round(jnp.exp(dur_f)).astype(jnp.int32),
+                1, cfg.max_duration,
+            )
+            dur = jnp.where(unit_valid, dur, 0)
+            # expansion: output slot j takes unit t where
+            # cumsum(dur)[t-1] <= j < cumsum(dur)[t]
+            ends = jnp.cumsum(dur, axis=1)                  # [B, T]
+            T_out = units.shape[1] * cfg.max_duration
+            pos = jnp.arange(T_out)[None, :]                # [1, T_out]
+            idx = (pos[:, :, None] >= ends[:, None, :]).sum(-1)  # [B, T_out]
+            idx = jnp.minimum(idx, units.shape[1] - 1)
+            x = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+            out_valid = pos < ends[:, -1:]
+            x = x * out_valid[:, :, None]
+        else:
+            x = x * unit_valid[:, :, None]
+        return HiFiGANGenerator(cfg.generator, name="generator")(x)

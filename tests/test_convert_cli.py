@@ -134,3 +134,28 @@ def test_component_wavlm_to_orbax(tmp_path):
         hf.state_dict()["feature_projection.projection.weight"].numpy().T,
         rtol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_parity_harness_dry_run(tmp_path):
+    """cli.parity --dry-run: the convert->evaluate->diff plumbing produces a
+    record per row and a summary, on random-init fixtures (the real matrix
+    needs released checkpoints; BASELINE.md anchors)."""
+    import json as _json
+
+    from speecht5_tpu.cli.parity import main as parity_main
+
+    res = tmp_path / "parity.json"
+    records = parity_main([
+        "--ckpt-dir", str(tmp_path / "ckpts"),
+        "--data-dir", str(tmp_path / "data"),
+        "--results", str(res), "--dry-run", "--batch-size", "4",
+    ])
+    assert len(records) == 1
+    assert records[0]["status"] == "report_only"
+    assert 0.0 <= records[0]["ours"] <= 1.5
+    saved = _json.loads(res.read_text())
+    assert saved["summary"]["rows"] == 1
+    # every real matrix row names its published source
+    from speecht5_tpu.cli.parity import MATRIX
+    assert all("source" in r and r["ckpt"].endswith(".pt") for r in MATRIX)

@@ -200,3 +200,57 @@ class TestGenerator:
         np.testing.assert_allclose(
             np.asarray(out.wav), np.asarray(direct), atol=1e-5
         )
+
+
+class TestCodeHiFiGAN:
+    """Unit-conditioned vocoder (the Speech2S S2ST chain's unit HiFi-GAN,
+    reference Speech2S/speech2s/stpretrain_scripts/eval2.sh)."""
+
+    def _cfg(self, dur):
+        from speecht5_tpu.models.hifigan import (
+            CodeHiFiGANConfig, HiFiGANConfig,
+        )
+
+        return CodeHiFiGANConfig(
+            num_units=12, embed_dim=16, dur_predictor=dur, max_duration=3,
+            generator=HiFiGANConfig(
+                in_dim=16, upsample_initial_channel=32,
+                upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                normalize_before=False,
+            ),
+        )
+
+    def test_frame_level_units_to_waveform(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from speecht5_tpu.models.hifigan import CodeHiFiGAN
+
+        m = CodeHiFiGAN(self._cfg(dur=False))
+        u = jnp.asarray(rng.integers(0, 12, (2, 6)), jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), u)
+        wav = np.asarray(m.apply(v, u))
+        assert wav.shape == (2, 6 * 8)  # hop = 4*2
+        assert np.isfinite(wav).all()
+
+    def test_duration_expansion_and_padding_mask(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from speecht5_tpu.models.hifigan import CodeHiFiGAN
+
+        m = CodeHiFiGAN(self._cfg(dur=True))
+        u = jnp.asarray([[3, 4, 5, 1]], jnp.int32)
+        valid = jnp.asarray([[True, True, True, False]])
+        v = m.init(jax.random.PRNGKey(0), u, valid)
+        wav = np.asarray(m.apply(v, u, valid))
+        # static output: T * max_duration * hop
+        assert wav.shape == (1, 4 * 3 * 8)
+        assert np.isfinite(wav).all()
+        # a padding unit's id must not influence the waveform
+        u2 = u.at[0, 3].set(9)
+        wav2 = np.asarray(m.apply(v, u2, valid))
+        np.testing.assert_allclose(wav, wav2, atol=1e-6)
+        # but a VALID unit's id must
+        u3 = u.at[0, 1].set(9)
+        wav3 = np.asarray(m.apply(v, u3, valid))
+        assert np.abs(wav3 - wav).max() > 1e-4

@@ -158,3 +158,50 @@ class TestSpeechUT:
         dec = ASRDecoder(m, v, beam_size=2, max_len=6, ctc_weight=0.2)
         res = dec(wav, lengths)
         assert np.isfinite(np.asarray(res.scores)).all()
+
+
+class TestSpeech2SChain:
+    def test_unit_decode_to_code_hifigan(self):
+        """The S2ST chain wiring: SpeechUT substrate unit beam decode ->
+        CodeHiFiGAN waveform (reference Speech2S stpretrain_scripts/
+        decode_text2code_beam2.sh + eval2.sh; recipes/speech2s_s2st.py is
+        the trained end-to-end demo)."""
+        import jax
+        import jax.numpy as jnp
+        from speecht5_tpu.models.speechut import SpeechUTModel, speechut_tiny
+        from speecht5_tpu.decode.asr import ASRDecoder
+        from speecht5_tpu.models.hifigan import (
+            CodeHiFiGAN, CodeHiFiGANConfig, HiFiGANConfig,
+        )
+
+        cfg = speechut_tiny(text_vocab_size=13)
+        model = SpeechUTModel(cfg)
+        wav = jnp.zeros((2, 4000))
+        wlen = jnp.asarray([4000, 2500])
+        T_frames = int(cfg.conv_features.out_length(4000))
+        fu = jnp.full((2, T_frames), 5, jnp.int32)
+        prev = jnp.full((2, 3), 5, jnp.int32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1),
+             "mix": jax.random.PRNGKey(2)},
+            wav, wlen, fu, prev, method="init_all",
+        )
+        dec = ASRDecoder(model, variables, beam_size=2, max_len=5)
+        res = dec(wav, wlen)
+        toks = np.asarray(res.tokens)[:, 0]
+        lens = np.asarray(res.lengths)[:, 0]
+        units = jnp.asarray(
+            np.clip(toks[:, 1:4], 5, 12) , jnp.int32)
+        voc = CodeHiFiGAN(CodeHiFiGANConfig(
+            num_units=13, embed_dim=16, dur_predictor=True, max_duration=2,
+            generator=HiFiGANConfig(
+                in_dim=16, upsample_initial_channel=32,
+                upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                resblock_kernel_sizes=(3,), resblock_dilations=((1, 3),),
+                normalize_before=False,
+            )))
+        vvars = voc.init(jax.random.PRNGKey(3), units)
+        out = np.asarray(voc.apply(vvars, units))
+        assert out.shape == (2, 3 * 2 * 8)
+        assert np.isfinite(out).all()
+        assert (lens >= 2).all()
