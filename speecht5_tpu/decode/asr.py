@@ -315,14 +315,26 @@ class CTCDecoder:
         self.lexicon = lexicon
         self.encode_method = encode_method
         self._enc = jax.jit(self._enc_impl)
+        self._enc_argmax = jax.jit(self._argmax_impl)
 
-    def _enc_impl(self, variables, enc_args):
+    def _encode(self, variables, enc_args):
         enc = self.model.apply(
             variables, *enc_args, method=self.encode_method, with_ctc=True
         )
-        lp = jax.nn.log_softmax(enc["ctc_logits"].astype(jnp.float32), axis=-1)
         lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
+        return enc, lengths
+
+    def _enc_impl(self, variables, enc_args):
+        enc, lengths = self._encode(variables, enc_args)
+        lp = jax.nn.log_softmax(enc["ctc_logits"].astype(jnp.float32), axis=-1)
         return lp, lengths
+
+    def _argmax_impl(self, variables, enc_args):
+        # greedy decode transfers [B, T] int32 frame ids, not the [B, T, V]
+        # posterior tensor — the argmax runs on device (the transfer was
+        # ~20 MB/batch-32 and dominated the greedy path's host time)
+        enc, lengths = self._encode(variables, enc_args)
+        return jnp.argmax(enc["ctc_logits"], axis=-1).astype(jnp.int32), lengths
 
     def posteriors(self, *enc_args):
         """[B, T, V] natural-log CTC posteriors + frame lengths (device)."""
@@ -330,9 +342,11 @@ class CTCDecoder:
 
     def __call__(self, *enc_args) -> list:
         """Returns a list of B token-id lists (letters + word-sep tokens)."""
-        lp, lengths = self.posteriors(*enc_args)
         if self.lexicon is None:
-            return greedy_ctc(lp, lengths, self.blank_id)
+            ids, lengths = self._enc_argmax(self.variables, enc_args)
+            return greedy_collapse(np.asarray(ids), np.asarray(lengths),
+                                   self.blank_id)
+        lp, lengths = self.posteriors(*enc_args)
         lp = np.asarray(lp)
         lengths = np.asarray(lengths)
         return [
@@ -341,12 +355,9 @@ class CTCDecoder:
         ]
 
 
-def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
-    """Greedy CTC decode (collapse repeats, drop blanks) — the reference uses
-    this for in-training WER (reference criterions/speech_to_text_loss.py:232-297).
-    Host-side post-processing; input [B, T, V] logits."""
-    ids = np.asarray(jnp.argmax(ctc_logits, axis=-1))
-    lengths = np.asarray(lengths)
+def greedy_collapse(ids: np.ndarray, lengths: np.ndarray,
+                    blank_id: int) -> list:
+    """Collapse repeats + drop blanks over per-frame argmax ids [B, T]."""
     out = []
     for b in range(ids.shape[0]):
         seq = ids[b, : lengths[b]]
@@ -356,3 +367,13 @@ def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
         seq = seq[np.concatenate([[True], seq[1:] != seq[:-1]])]
         out.append(seq[seq != blank_id].tolist())
     return out
+
+
+def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
+    """Greedy CTC decode (collapse repeats, drop blanks) — the reference uses
+    this for in-training WER (reference criterions/speech_to_text_loss.py:232-297).
+    Host-side post-processing; input [B, T, V] logits."""
+    return greedy_collapse(
+        np.asarray(jnp.argmax(ctc_logits, axis=-1)), np.asarray(lengths),
+        blank_id,
+    )
