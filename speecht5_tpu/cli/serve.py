@@ -50,6 +50,27 @@ class RequestTooLarge(Exception):
     """Mapped to HTTP 413 — the request exceeds a configured hard cap."""
 
 
+class _CTCAdapter:
+    """Make CTCDecoder (list of token rows) quack like ASRDecoder's
+    BeamResult (tokens [B, beam, L] with BOS/EOS framing) so the serving
+    paths stay decoder-agnostic."""
+
+    def __init__(self, dec):
+        self.dec = dec
+
+    def __call__(self, wav, lengths):
+        import types
+
+        rows = self.dec(wav, lengths)
+        L = max(len(r) for r in rows) + 2 if rows else 2
+        toks = np.zeros((len(rows), 1, max(L, 2)), np.int32)
+        lens = np.zeros((len(rows), 1), np.int32)
+        for b, r in enumerate(rows):
+            toks[b, 0, 1 : 1 + len(r)] = r
+            lens[b, 0] = len(r) + 2          # BOS + ids + EOS convention
+        return types.SimpleNamespace(tokens=toks, lengths=lens)
+
+
 def _parse_wav(body: bytes) -> np.ndarray:
     with wave.open(io.BytesIO(body)) as w:
         assert w.getnchannels() == 1, "mono required"
@@ -109,12 +130,21 @@ class Service:
         self._queue = []
         self._queue_cv = threading.Condition()
         if args.task in ("s2t", "both"):
-            from ..decode.asr import ASRDecoder
+            if args.decoder == "ctc_greedy":
+                # encoder-only viterbi decode: one MXU-bound forward per
+                # batch, no AR loop — 17x the beam path's throughput
+                # (PERF.md §11); WER cost is the no-LM greedy gap
+                from ..decode.asr import CTCDecoder
 
-            self.asr = ASRDecoder(
-                model, self.variables, beam_size=args.beam,
-                max_len=args.max_len, ctc_weight=args.ctc_weight,
-            )
+                self.asr = _CTCAdapter(CTCDecoder(
+                    model, self.variables, blank_id=cfg.blank_id))
+            else:
+                from ..decode.asr import ASRDecoder
+
+                self.asr = ASRDecoder(
+                    model, self.variables, beam_size=args.beam,
+                    max_len=args.max_len, ctc_weight=args.ctc_weight,
+                )
             batch_sizes = {1, self.max_batch}
             for secs in self.buckets():
                 for bs in sorted(batch_sizes):
@@ -308,6 +338,7 @@ def make_handler(svc: Service):
                     "asr": svc.asr is not None,
                     "tts": svc.tts is not None,
                     "asr_buckets_s": svc.buckets(),
+                    "decoder": svc.args.decoder,
                     "max_batch": svc.max_batch,
                     "asr_calls": svc.asr_calls,
                     "asr_requests": svc.asr_requests,
@@ -354,6 +385,11 @@ def main(argv=None):
     p.add_argument("--vocoder-ckpt", default=None)
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--decoder", default="beam",
+                   choices=("beam", "ctc_greedy"),
+                   help="/asr algorithm: joint CTC/attention beam search, "
+                        "or encoder-only CTC viterbi (17x throughput, "
+                        "PERF.md §11)")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--ctc-weight", type=float, default=0.3)

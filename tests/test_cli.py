@@ -370,22 +370,12 @@ def test_evaluate_with_fusion_lm(corpus, tmp_path, capsys):
     assert result["metric"] == "wer" and np.isfinite(result["value"])
 
 
-@pytest.mark.slow
-def test_serve_asr_http(corpus, tmp_path):
-    """cli.serve: HTTP ASR endpoint over the jitted decoder — health check,
-    WAV round-trip, decode to text (contract test on a briefly trained
-    tiny model)."""
-    import http.client
-    import io
-    import signal as _signal
-    import subprocess
-    import sys as _sys
-    import time as _time
-    import wave
-
+@pytest.fixture(scope="module")
+def serve_ckpt(corpus, tmp_path_factory):
+    """One brief training for all serve contract tests."""
     from speecht5_tpu.cli.train import main as train_main
 
-    save = tmp_path / "ckpt_serve"
+    save = tmp_path_factory.mktemp("serve") / "ckpt_serve"
     train_main([
         "--manifest", str(corpus / "train.tsv"),
         "--labels", str(corpus / "train.ltr"),
@@ -395,12 +385,30 @@ def test_serve_asr_http(corpus, tmp_path):
         "--max-updates", "4", "--batch-size", "8",
         "--mask-prob", "0", "--save-interval", "4", "--log-interval", "100",
     ])
+    return save
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("decoder", ["beam", "ctc_greedy"])
+def test_serve_asr_http(corpus, serve_ckpt, decoder):
+    """cli.serve: HTTP ASR endpoint — health check, WAV round-trip, chunked
+    long audio, 413 caps, micro-batching — under BOTH decode algorithms
+    (joint beam and the encoder-only CTC throughput path)."""
+    import http.client
+    import io
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+    import wave
+
+    save = serve_ckpt
     env = dict(os.environ)
     proc = subprocess.Popen(
         [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
          "--task", "s2t", "--arch", "speecht5_tiny",
          "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
+         "--decoder", decoder,
          "--port", "0", "--beam", "2", "--max-len", "8",
          "--asr-buckets", "1", "--dtype", "float32",
          "--max-batch", "3", "--batch-window-ms", "150",
