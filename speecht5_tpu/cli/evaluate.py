@@ -204,79 +204,16 @@ def main(argv=None):
     order = list(range(n))
     result = {}
 
-    if args.task == "s2t" and args.decoder != "beam":
-        # encoder-only CTC decode (viterbi or lexicon+LM beam): the reference
-        # SpeechLM ASR eval stack (speechlm/infer.py + flashlight decoders)
-        from ..decode.asr import CTCDecoder
-
-        if ensemble:
-            raise SystemExit("--ensemble-last requires --decoder beam")
-        lexicon = None
-        if args.decoder == "ctc_lexicon":
-            from ..decode.lexicon import LexiconDecoder
-
-            if not args.lexicon:
-                raise SystemExit("--decoder ctc_lexicon needs --lexicon")
-            sep_id = dictionary.index("|")
-            if sep_id == dictionary.unk_index:
-                raise SystemExit("dictionary has no '|' word separator")
-            lexicon = LexiconDecoder(
-                args.lexicon, list(dictionary.symbols),
-                arpa_path=args.lm_path, blank=cfg.blank_id, sep=sep_id,
-                lm_weight=args.lm_weight, word_score=args.word_score,
-                beam=args.ctc_beam_size,
-            )
-        dec_vars, mesh = variables, None
-        if args.data_parallel:
-            from ..parallel.sharding import (
-                make_mesh, shard_decode_variables,
-            )
-
-            mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
-            if args.batch_size % len(jax.devices()) != 0:
-                raise SystemExit(
-                    f"--batch-size {args.batch_size} must be a multiple of "
-                    f"the device count {len(jax.devices())}"
-                )
-            dec_vars = shard_decode_variables(variables, mesh)
-        dec = CTCDecoder(model, dec_vars, blank_id=cfg.blank_id,
-                         lexicon=lexicon)
-        refs, hyps = [], []
-        for s in range(0, n, args.batch_size):
-            idxs = order[s : s + args.batch_size]
-            items = [ds[i] for i in idxs]
-            if mesh is not None and len(items) < args.batch_size:
-                items = items + [items[-1]] * (args.batch_size - len(items))
-            batch = ds.collate(items, cfg.eos_id, cfg.pad_id)
-            wav = jnp.asarray(batch["wav"])
-            wlen = jnp.asarray(batch["wav_lengths"])
-            if mesh is not None:
-                from ..parallel.sharding import shard_decode_batch
-
-                wav, wlen = shard_decode_batch((wav, wlen), mesh)
-            token_rows = dec(wav, wlen)
-            for b, i in enumerate(idxs):
-                hyp = letters_to_text(dictionary.string(token_rows[b]))
-                hyps.append(hyp)
-                refs.append(letters_to_text(ds.label_lines[i]))
-        scorer = corpus_bleu if args.metric == "bleu" else corpus_wer
-        result = {"metric": args.metric, "value": scorer(refs, hyps),
-                  "n_utts": n, "decoder": args.decoder}
-        if args.results_path:
-            with open(os.path.join(args.results_path, "hyps.txt"), "w") as f:
-                f.write("\n".join(hyps) + "\n")
-            with open(os.path.join(args.results_path, "refs.txt"), "w") as f:
-                f.write("\n".join(refs) + "\n")
-
-    elif args.task == "s2t":
-        from ..decode.asr import ASRDecoder
-
+    if args.task == "s2t":
+        # one shared batched-decode loop; the decoder choice only changes
+        # how a batch becomes token rows:
+        # - beam: jitted joint CTC/attention beam search (BeamResult with
+        #   BOS/EOS framing)
+        # - ctc_greedy / ctc_lexicon: encoder-only CTC decode — the
+        #   reference SpeechLM eval stack (speechlm/infer.py + flashlight)
         mesh = None
-        dec_vars = ensemble if ensemble else variables
         if args.data_parallel:
-            from ..parallel.sharding import (
-                make_mesh, shard_decode_variables,
-            )
+            from ..parallel.sharding import make_mesh
 
             mesh = make_mesh(n_data=len(jax.devices()), n_model=1)
             if args.batch_size % len(jax.devices()) != 0:
@@ -284,18 +221,57 @@ def main(argv=None):
                     f"--batch-size {args.batch_size} must be a multiple of "
                     f"the device count {len(jax.devices())}"
                 )
-            if ensemble:
-                dec_vars = [shard_decode_variables(v, mesh) for v in ensemble]
-            else:
-                dec_vars = shard_decode_variables(variables, mesh)
             print(f"data-parallel decode over {len(jax.devices())} devices",
                   flush=True)
-        dec = ASRDecoder(
-            model, dec_vars,
-            beam_size=args.beam, max_len=args.max_len,
-            ctc_weight=args.ctc_weight,
-            lm=lm, lm_variables=lm_vars, lm_weight=args.lm_weight,
-        )
+
+        def shard_vars(v):
+            if mesh is None:
+                return v
+            from ..parallel.sharding import shard_decode_variables
+
+            return shard_decode_variables(v, mesh)
+
+        if args.decoder == "beam":
+            from ..decode.asr import ASRDecoder
+
+            dec_vars = ([shard_vars(v) for v in ensemble] if ensemble
+                        else shard_vars(variables))
+            dec = ASRDecoder(
+                model, dec_vars,
+                beam_size=args.beam, max_len=args.max_len,
+                ctc_weight=args.ctc_weight,
+                lm=lm, lm_variables=lm_vars, lm_weight=args.lm_weight,
+            )
+
+            def decode_rows(wav, wlen):
+                res = dec(wav, wlen)
+                toks = np.asarray(res.tokens)[:, 0]
+                lens = np.asarray(res.lengths)[:, 0]
+                return [toks[b, 1 : max(int(lens[b]) - 1, 1)]
+                        for b in range(toks.shape[0])]
+        else:
+            from ..decode.asr import CTCDecoder
+
+            if ensemble:
+                raise SystemExit("--ensemble-last requires --decoder beam")
+            lexicon = None
+            if args.decoder == "ctc_lexicon":
+                from ..decode.lexicon import LexiconDecoder
+
+                if not args.lexicon:
+                    raise SystemExit("--decoder ctc_lexicon needs --lexicon")
+                sep_id = dictionary.index("|")
+                if sep_id == dictionary.unk_index:
+                    raise SystemExit("dictionary has no '|' word separator")
+                lexicon = LexiconDecoder(
+                    args.lexicon, list(dictionary.symbols),
+                    arpa_path=args.lm_path, blank=cfg.blank_id, sep=sep_id,
+                    lm_weight=args.lm_weight, word_score=args.word_score,
+                    beam=args.ctc_beam_size,
+                )
+            decode_rows = CTCDecoder(model, shard_vars(variables),
+                                     blank_id=cfg.blank_id, lexicon=lexicon)
+
         refs, hyps = [], []
         for s in range(0, n, args.batch_size):
             idxs = order[s : s + args.batch_size]
@@ -311,21 +287,15 @@ def main(argv=None):
                 from ..parallel.sharding import shard_decode_batch
 
                 wav, wlen = shard_decode_batch((wav, wlen), mesh)
-            res = dec(wav, wlen)
-            toks = np.asarray(res.tokens)[:, 0]
-            lens = np.asarray(res.lengths)[:, 0]
+            token_rows = decode_rows(wav, wlen)
             for b, i in enumerate(idxs):
-                hyp_ids = toks[b, 1 : max(int(lens[b]) - 1, 1)]
-                hyp = letters_to_text(dictionary.string(hyp_ids))
-                ref = letters_to_text(ds.label_lines[i])
-                hyps.append(hyp)
-                refs.append(ref)
-        if args.metric == "bleu":
-            result = {"metric": "bleu", "value": corpus_bleu(refs, hyps),
-                      "n_utts": n}
-        else:
-            result = {"metric": "wer", "value": corpus_wer(refs, hyps),
-                      "n_utts": n}
+                hyps.append(letters_to_text(dictionary.string(token_rows[b])))
+                refs.append(letters_to_text(ds.label_lines[i]))
+        scorer = corpus_bleu if args.metric == "bleu" else corpus_wer
+        result = {"metric": args.metric, "value": scorer(refs, hyps),
+                  "n_utts": n}
+        if args.decoder != "beam":
+            result["decoder"] = args.decoder
         if args.results_path:
             with open(os.path.join(args.results_path, "hyps.txt"), "w") as f:
                 f.write("\n".join(hyps) + "\n")

@@ -187,13 +187,13 @@ class Service:
         so nothing is dropped."""
         n = len(wav)
         top = self.buckets()[-1] * SR
-        if n <= top:
-            return [wav]
         if self.args.max_audio_s and n > self.args.max_audio_s * SR:
             raise RequestTooLarge(
                 f"audio is {n / SR:.1f}s; --max-audio-s "
                 f"{self.args.max_audio_s}"
             )
+        if n <= top:
+            return [wav]
         overlap = int(self.args.chunk_overlap_s * SR)
         hop = max(top - overlap, 1)
         chunks = []
@@ -203,19 +203,21 @@ class Service:
                 break
         return chunks
 
-    def _decode_batch(self, wavs, lengths):
-        """One device program over a padded same-bucket batch (caller picks
-        the rows); returns the detokenized texts."""
+    def _decode_batch(self, wavs, lengths, n_real=None):
+        """One device program over a padded same-bucket batch; returns the
+        detokenized texts for the first ``n_real`` rows (padding rows are
+        decoded by the program but never counted nor detokenized)."""
         jnp = self._jnp
+        n_real = len(wavs) if n_real is None else n_real
         with self.lock:
             res = self.asr(jnp.asarray(wavs),
                            jnp.asarray(lengths, jnp.int32))
             toks = np.asarray(res.tokens)[:, 0]
             lens = np.asarray(res.lengths)[:, 0]
             self.asr_calls += 1
-            self.asr_requests += len(wavs)
+            self.asr_requests += n_real
         out = []
-        for b in range(len(wavs)):
+        for b in range(n_real):
             hyp_ids = toks[b, 1 : max(int(lens[b]) - 1, 1)]
             out.append(self._letters_to_text(self.dictionary.string(hyp_ids)))
         return out
@@ -232,16 +234,16 @@ class Service:
         return self._decode_batch(padded, [min(len(wav), T)])[0]
 
     # --------------------------------------------------- micro-batching
-    def _submit(self, wav: np.ndarray) -> str:
-        """Enqueue one bucket-sized chunk; the collector thread batches
-        same-bucket requests into one program."""
-        if self.max_batch <= 1:
-            return self._decode_one(wav)
+    def _enqueue(self, wav: np.ndarray) -> dict:
         slot = {"event": threading.Event(), "wav": wav,
                 "bucket": self._bucket_for(len(wav)), "text": None}
         with self._queue_cv:
             self._queue.append(slot)
             self._queue_cv.notify()
+        return slot
+
+    @staticmethod
+    def _wait(slot: dict) -> str:
         slot["event"].wait()
         if "error" in slot:
             raise slot["error"]
@@ -280,7 +282,7 @@ class Service:
                 wavs[b, : len(w)] = w
                 lengths[b] = len(w)
             try:
-                texts = self._decode_batch(wavs, lengths)
+                texts = self._decode_batch(wavs, lengths, n_real=len(group))
                 for b, s in enumerate(group):
                     s["text"] = texts[b]
             except Exception as e:  # noqa: BLE001 — deliver to the waiters
@@ -290,9 +292,36 @@ class Service:
                 for s in group:
                     s["event"].set()
 
+    @staticmethod
+    def _join_transcripts(texts, max_seam_words: int = 8) -> str:
+        """Join chunk transcripts, deduplicating the window seam: the
+        longest word suffix of the running transcript that exactly matches
+        the next chunk's prefix (words re-decoded inside the overlap
+        region) is dropped from the incoming chunk."""
+        words: list = []
+        for t in texts:
+            w = t.split()
+            if not w:
+                continue
+            k_max = min(max_seam_words, len(words), len(w))
+            drop = 0
+            for k in range(k_max, 0, -1):
+                if words[-k:] == w[:k]:
+                    drop = k
+                    break
+            words.extend(w[drop:])
+        return " ".join(words)
+
     def transcribe(self, wav: np.ndarray) -> str:
-        texts = [self._submit(c) for c in self._chunk(wav)]
-        return " ".join(t for t in texts if t).strip()
+        chunks = self._chunk(wav)
+        if self.max_batch <= 1:
+            texts = [self._decode_one(c) for c in chunks]
+        else:
+            # enqueue ALL windows before waiting: the collector coalesces
+            # them into max_batch-sized programs instead of one per window
+            slots = [self._enqueue(c) for c in chunks]
+            texts = [self._wait(s) for s in slots]
+        return self._join_transcripts(texts)
 
     def synthesize(self, text: str) -> np.ndarray:
         jnp = self._jnp

@@ -51,19 +51,25 @@ def _open_arpa(path: str):
 
 def materialize_arpa(path: str) -> str:
     """Return a plain-text ARPA path for the native decoder: gzipped input
-    is decompressed once to a sibling temp file (cached by mtime)."""
+    is decompressed once to a temp file keyed on (path, mtime) — a stable
+    content key (hashlib, NOT hash(): per-process seeding would defeat the
+    cache and leak a fresh multi-GB decompression every run)."""
     if not path.endswith(".gz"):
         return path
     import gzip
+    import hashlib
+    import shutil
     import tempfile
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"s5_arpa_{abs(hash((os.path.abspath(path), os.path.getmtime(path))))}.arpa",
-    )
+    key = hashlib.sha1(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"s5_arpa_{key}.arpa")
     if not os.path.exists(out):
-        with gzip.open(path, "rb") as f, open(out, "wb") as o:
-            o.write(f.read())
+        tmp = out + ".partial"
+        with gzip.open(path, "rb") as f, open(tmp, "wb") as o:
+            shutil.copyfileobj(f, o)
+        os.replace(tmp, out)   # atomic: concurrent readers never see partial
     return out
 
 
@@ -223,6 +229,7 @@ def build_binary_lm(arpa_path: str, bin_path: str) -> None:
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native library unavailable (no toolchain?)")
+    arpa_path = materialize_arpa(arpa_path)   # accept .arpa.gz here too
     lib.lexlm_build_binary.restype = ctypes.c_int32
     lib.lexlm_build_binary.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     rc = lib.lexlm_build_binary(arpa_path.encode(), bin_path.encode())

@@ -601,3 +601,18 @@ def test_serve_tts_http(corpus, tmp_path):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_serve_transcript_seam_join():
+    """Chunked decode joins on word seams: text re-decoded inside the
+    overlap window appears once, non-matching seams are left intact."""
+    from speecht5_tpu.cli.serve import Service
+
+    j = Service._join_transcripts
+    assert j(["HELLO WORLD", "WORLD AGAIN"]) == "HELLO WORLD AGAIN"
+    assert j(["A B C D", "C D E", "E F"]) == "A B C D E F"
+    assert j(["HELLO", "", "WORLD"]) == "HELLO WORLD"
+    # no false merge when the boundary words differ
+    assert j(["A B", "C D"]) == "A B C D"
+    # repeated-word utterances only drop the true seam
+    assert j(["GO GO GO", "GO GO STOP"]) == "GO GO GO STOP"
