@@ -32,3 +32,29 @@ assert jax.device_count() == 8, jax.devices()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def cpu_subprocess_env(device_count: int = 8):
+    """Hermetic environment for CPU-platform subprocess workers.
+
+    The parent test session's TPU-plugin sitecustomize exports session
+    state (_AXON_REGISTERED, AXON_POOL_SVC_OVERRIDE, the plugin dir on
+    PYTHONPATH) that makes CHILD interpreters attach to the parent's
+    remote-TPU relay at startup — and block forever when the pool is
+    unreachable, even with JAX_PLATFORMS=cpu.  Subprocess tests must not
+    depend on TPU-pool health: strip every plugin variable and pin the
+    CPU platform.
+    """
+    import os as _os
+
+    env = dict(_os.environ)
+    for k in list(env):
+        if k.startswith(("AXON_", "PALLAS_AXON", "_AXON")):
+            env.pop(k)
+    pp = [p for p in env.get("PYTHONPATH", "").split(_os.pathsep)
+          if p and "axon" not in p]
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env["PYTHONPATH"] = _os.pathsep.join([repo] + pp)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={device_count}"
+    return env

@@ -403,7 +403,9 @@ def test_serve_asr_http(corpus, serve_ckpt, decoder):
     import wave
 
     save = serve_ckpt
-    env = dict(os.environ)
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
     proc = subprocess.Popen(
         [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
          "--task", "s2t", "--arch", "speecht5_tiny",
@@ -556,6 +558,8 @@ def test_serve_tts_http(corpus, tmp_path):
     m.save_model_only(1, voc_vars)
     m.wait()
 
+    from conftest import cpu_subprocess_env
+
     proc = subprocess.Popen(
         [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
          "--task", "t2s", "--arch", "speecht5_tiny",
@@ -564,7 +568,7 @@ def test_serve_tts_http(corpus, tmp_path):
          "--port", "0", "--max-frames", "64", "--tts-bucket-tokens", "16",
          "--dtype", "float32"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=dict(os.environ),
+        env=cpu_subprocess_env(),
     )
     try:
         port = None

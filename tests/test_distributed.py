@@ -30,12 +30,15 @@ def _free_port():
 
 
 def _clean_env():
-    env = dict(os.environ)
-    # the test session itself may pin a platform/device count; workers set
-    # their own
+    # hermetic CPU env: strips the parent session's TPU-plugin state,
+    # which would otherwise make children attach to the remote relay at
+    # startup and hang when the pool is unreachable (conftest helper)
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env()
+    # workers set their own platform/device count
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 

@@ -39,10 +39,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _run_cli(module, argv, timeout=1800):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
-    env.pop("PALLAS_AXON_POOL_IPS", None)
+    from conftest import cpu_subprocess_env
+
+    env = cpu_subprocess_env(device_count=1)
     out = subprocess.run(
         [sys.executable, "-m", f"speecht5_tpu.cli.{module}"] + argv,
         capture_output=True, text=True, timeout=timeout, env=env,
