@@ -19,6 +19,7 @@
 #include <cstring>
 #include <algorithm>
 #include <fstream>
+#include <thread>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -447,6 +448,214 @@ int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
     for (int64_t i = 0; i < n; i++) out_tokens[i] = best_h->tokens[i];
     *out_score = best;
     return n;
+}
+
+}  // extern "C"
+
+// --------------------------------------------- open-vocabulary N-best beam
+// Lexicon-free CTC prefix beam search (Graves 2012 / Hannun 2014) keeping the
+// N best label prefixes with their total log-probabilities.  This is pass 1
+// of the two-pass CTC -> attention-rescore decode: the reference computes its
+// CTC emissions from the same encoder head the joint beam uses (reference
+// SpeechT5/speecht5/models/modules/encoder.py:101-111,174-179), and its
+// SpeechLM eval path decodes those emissions with no AR loop at all
+// (reference SpeechLM/speechlm/infer.py:29-33); rescoring the CTC N-best with
+// one teacher-forced decoder pass recovers joint-beam quality at
+// encoder-forward cost.
+
+namespace {
+
+// Prefixes live in a trie so a hypothesis is one int node id: merges hash an
+// int instead of re-serializing the whole token sequence (O(1) vs O(len) per
+// expansion — the naive keying is quadratic in hypothesis length over the
+// frame loop, and dominates decode for long utterances).
+struct PrefixNode {
+    int32_t parent = -1;
+    int32_t tok = -1;                     // token emitted to reach this node
+    int32_t depth = 0;
+    std::unordered_map<int32_t, int32_t> children;
+};
+
+struct OHyp {
+    int32_t node = 0;                     // prefix trie node (0 = empty)
+    double p_b = NEG_INF;                 // prob of prefix ending in blank
+    double p_nb = NEG_INF;                // prob of prefix ending in non-blank
+    double total() const { return log_add(p_b, p_nb); }
+};
+
+int64_t nbest_impl(const float* lp, int64_t T, int64_t V,
+                   int32_t blank, int32_t beam, int32_t nbest, int32_t topk,
+                   double blank_thresh, int64_t out_stride,
+                   int32_t* out_tokens, int32_t* out_lens,
+                   double* out_scores) {
+    std::vector<PrefixNode> trie(1);      // node 0 = empty prefix
+    auto child = [&trie](int32_t node, int32_t tok) -> int32_t {
+        auto it = trie[node].children.find(tok);
+        if (it != trie[node].children.end()) return it->second;
+        int32_t id = (int32_t)trie.size();
+        trie[node].children.emplace(tok, id);
+        PrefixNode c;
+        c.parent = node;
+        c.tok = tok;
+        c.depth = trie[node].depth + 1;
+        trie.push_back(std::move(c));
+        return id;
+    };
+
+    std::vector<OHyp> hyps(1);
+    hyps[0].p_b = 0.0;
+    std::vector<int32_t> cand(V);
+    // per-frame dedup without a hash map: slot_epoch/slot_idx are indexed by
+    // trie node id and stamped with the frame number — O(1) merges, no
+    // per-frame allocation churn (the hash-map version spent most of its
+    // time in node allocation + hashing at ~70k merges/utterance)
+    std::vector<OHyp> pool;
+    std::vector<int64_t> slot_epoch;
+    std::vector<int32_t> slot_idx;
+
+    for (int64_t t = 0; t < T; t++) {
+        const float* row = lp + t * V;
+        // blank-dominated frame: every transition that changes the prefix
+        // carries at most 1 - P(blank) mass, so fold the frame into the
+        // stay transitions only (blank + repeat-last) — no extensions, no
+        // merge, no sort.  Trained CTC models emit ~90% such frames, and
+        // prefixes stay unique so the in-place update is exact for the
+        // transitions kept.  blank_thresh >= 0 disables (log p < 0 always).
+        if (blank_thresh < 0.0 && row[blank] > blank_thresh) {
+            for (OHyp& h : hyps) {
+                double p_tot = h.total();
+                int32_t last = trie[h.node].tok;
+                double nb = (last >= 0 && h.p_nb > NEG_INF)
+                                ? h.p_nb + row[last]
+                                : NEG_INF;
+                h.p_b = p_tot + row[blank];
+                h.p_nb = nb;
+            }
+            continue;
+        }
+        int64_t K = (topk > 0 && (int64_t)topk < V) ? topk : V;
+        for (int64_t v = 0; v < V; v++) cand[v] = (int32_t)v;
+        if (K < V) {
+            std::partial_sort(
+                cand.begin(), cand.begin() + K, cand.end(),
+                [&](int32_t a, int32_t b) { return row[a] > row[b]; });
+        }
+
+        pool.clear();
+        if (slot_epoch.size() < trie.size() + hyps.size() * (K + 1)) {
+            slot_epoch.resize(trie.size() + hyps.size() * (K + 1), -1);
+            slot_idx.resize(slot_epoch.size(), 0);
+        }
+        auto merge = [&](int32_t node, double p_b, double p_nb) {
+            if ((size_t)node >= slot_epoch.size()) {
+                slot_epoch.resize(
+                    std::max<size_t>(node + 1, slot_epoch.size() * 2), -1);
+                slot_idx.resize(slot_epoch.size(), 0);
+            }
+            if (slot_epoch[node] == t) {
+                OHyp& g = pool[slot_idx[node]];
+                g.p_b = log_add(g.p_b, p_b);
+                g.p_nb = log_add(g.p_nb, p_nb);
+            } else {
+                slot_epoch[node] = t;
+                slot_idx[node] = (int32_t)pool.size();
+                pool.push_back(OHyp{node, p_b, p_nb});
+            }
+        };
+
+        for (const OHyp& h : hyps) {
+            double p_tot = h.total();
+            int32_t last = trie[h.node].tok;  // -1 at the root
+            // blank / repeat-last keep the prefix unchanged
+            merge(h.node, p_tot + row[blank],
+                  (last >= 0 && h.p_nb > NEG_INF) ? h.p_nb + row[last]
+                                                  : NEG_INF);
+            for (int64_t ci = 0; ci < K; ci++) {
+                int32_t tok = cand[ci];
+                if (tok == blank) continue;
+                // emitting `last` again right away requires a blank between
+                double base = (tok == last) ? h.p_b : p_tot;
+                if (base <= NEG_INF) continue;
+                merge(child(h.node, tok), NEG_INF, base + row[tok]);
+            }
+        }
+
+        hyps.assign(pool.begin(), pool.end());
+        std::sort(hyps.begin(), hyps.end(),
+                  [](const OHyp& a, const OHyp& b) {
+                      return a.total() > b.total();
+                  });
+        if ((int64_t)hyps.size() > beam) hyps.resize(beam);
+    }
+
+    int64_t n = std::min<int64_t>(nbest, (int64_t)hyps.size());
+    for (int64_t i = 0; i < n; i++) {
+        int64_t m = std::min<int64_t>((int64_t)trie[hyps[i].node].depth, T);
+        int32_t node = hyps[i].node;
+        // walk parents; skip tokens beyond the T clamp (cannot happen: depth
+        // grows by <= 1 per frame, so depth <= T always)
+        for (int64_t j = m - 1; j >= 0; j--) {
+            out_tokens[i * out_stride + j] = trie[node].tok;
+            node = trie[node].parent;
+        }
+        out_lens[i] = (int32_t)m;
+        out_scores[i] = hyps[i].total();
+    }
+    return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// lp: [T, V] natural-log posteriors.  Writes up to `nbest` hypotheses:
+// out_tokens is [nbest, T] row-major, out_lens[i] the token count of row i,
+// out_scores[i] its total log-prob (descending).  `topk > 0` restricts each
+// frame's extension candidates to the top-k emissions (blank and the
+// repeat-last transition are always considered).  Returns the number of
+// hypotheses written.
+int64_t ctc_nbest(const float* lp, int64_t T, int64_t V,
+                  int32_t blank, int32_t beam, int32_t nbest, int32_t topk,
+                  double blank_thresh,
+                  int32_t* out_tokens, int32_t* out_lens,
+                  double* out_scores) {
+    return nbest_impl(lp, T, V, blank, beam, nbest, topk, blank_thresh, T,
+                      out_tokens, out_lens, out_scores);
+}
+
+// Batched N-best over [B, Tmax, V] posteriors with per-utterance frame
+// counts `lens`.  Utterances are independent, so they decode on a worker
+// pool (`n_threads <= 0` -> hardware concurrency).  out_tokens is
+// [B, nbest, Tmax]; out_counts[b] gets the hypothesis count of row b.
+int64_t ctc_nbest_batch(const float* lp, const int32_t* lens, int64_t B,
+                        int64_t Tmax, int64_t V, int32_t blank, int32_t beam,
+                        int32_t nbest, int32_t topk, double blank_thresh,
+                        int32_t n_threads,
+                        int32_t* out_tokens, int32_t* out_lens,
+                        double* out_scores, int32_t* out_counts) {
+    if (n_threads <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        n_threads = hc ? (int32_t)hc : 1;
+    }
+    n_threads = std::max(1, std::min<int32_t>(n_threads, (int32_t)B));
+    auto work = [&](int64_t b0) {
+        for (int64_t b = b0; b < B; b += n_threads) {
+            out_counts[b] = (int32_t)nbest_impl(
+                lp + b * Tmax * V, lens[b], V, blank, beam, nbest, topk,
+                blank_thresh, Tmax,
+                out_tokens + b * (int64_t)nbest * Tmax,
+                out_lens + b * nbest, out_scores + b * nbest);
+        }
+    };
+    if (n_threads == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(n_threads);
+        for (int32_t i = 0; i < n_threads; i++) pool.emplace_back(work, i);
+        for (auto& th : pool) th.join();
+    }
+    return B;
 }
 
 }  // extern "C"

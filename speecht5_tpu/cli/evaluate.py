@@ -67,14 +67,25 @@ def main(argv=None):
     p.add_argument("--metric", default="wer", choices=["wer", "bleu"],
                    help="s2t scoring: WER for ASR, corpus BLEU for ST")
     p.add_argument("--decoder", default="beam",
-                   choices=["beam", "ctc_greedy", "ctc_lexicon"],
+                   choices=["beam", "ctc_greedy", "ctc_lexicon",
+                            "ctc_rescore"],
                    help="s2t decode algorithm: 'beam' = joint CTC/attention "
                         "AR beam search; 'ctc_greedy' = viterbi collapse of "
                         "the encoder CTC posteriors (reference SpeechLM "
                         "infer_viterbi.yaml); 'ctc_lexicon' = native "
                         "lexicon-constrained CTC beam + word n-gram LM "
                         "(reference flashlight/kenlm, "
-                        "SpeechLM/speechlm/infer.py:29-33,121)")
+                        "SpeechLM/speechlm/infer.py:29-33,121); "
+                        "'ctc_rescore' = CTC N-best prefix beam + one "
+                        "teacher-forced decoder rescoring pass (the joint "
+                        "beam's two scores, two batched forwards, no AR "
+                        "loop)")
+    p.add_argument("--rescore-nbest", type=int, default=8,
+                   help="hypotheses per utterance kept for ctc_rescore")
+    p.add_argument("--ctc-topk", type=int, default=0,
+                   help="per-frame candidate pruning of the ctc_rescore "
+                        "prefix beam (0 = all tokens; useful for BPE "
+                        "vocabularies)")
     p.add_argument("--lexicon", default=None,
                    help="lexicon file for --decoder ctc_lexicon: "
                         "'word<TAB>tok1 tok2 ...' lines (prep "
@@ -249,6 +260,18 @@ def main(argv=None):
                 lens = np.asarray(res.lengths)[:, 0]
                 return [toks[b, 1 : max(int(lens[b]) - 1, 1)]
                         for b in range(toks.shape[0])]
+        elif args.decoder == "ctc_rescore":
+            from ..decode.asr import RescoreDecoder
+
+            if ensemble:
+                raise SystemExit("--ensemble-last requires --decoder beam")
+            decode_rows = RescoreDecoder(
+                model, shard_vars(variables),
+                blank_id=cfg.blank_id, eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+                nbest=args.rescore_nbest, beam=args.ctc_beam_size,
+                topk=args.ctc_topk, ctc_weight=args.ctc_weight,
+                max_len=args.max_len,
+            )
         else:
             from ..decode.asr import CTCDecoder
 

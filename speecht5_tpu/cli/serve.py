@@ -138,6 +138,15 @@ class Service:
 
                 self.asr = _CTCAdapter(CTCDecoder(
                     model, self.variables, blank_id=cfg.blank_id))
+            elif args.decoder == "ctc_rescore":
+                # two-pass CTC N-best + teacher-forced decoder rescore:
+                # beam-level WER at near-greedy throughput (no AR loop)
+                from ..decode.asr import RescoreDecoder
+
+                self.asr = _CTCAdapter(RescoreDecoder(
+                    model, self.variables, blank_id=cfg.blank_id,
+                    eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+                    ctc_weight=args.ctc_weight, max_len=args.max_len))
             else:
                 from ..decode.asr import ASRDecoder
 
@@ -415,7 +424,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--decoder", default="beam",
-                   choices=("beam", "ctc_greedy"),
+                   choices=("beam", "ctc_greedy", "ctc_rescore"),
                    help="/asr algorithm: joint CTC/attention beam search, "
                         "or encoder-only CTC viterbi (17x throughput, "
                         "PERF.md §11)")

@@ -377,3 +377,121 @@ def greedy_ctc(ctc_logits, lengths, blank_id: int) -> list:
         np.asarray(jnp.argmax(ctc_logits, axis=-1)), np.asarray(lengths),
         blank_id,
     )
+
+
+class RescoreDecoder:
+    """Two-pass decode: CTC N-best prefix beam + one teacher-forced decoder
+    rescoring forward.
+
+    The reference's joint beam interleaves attention and CTC-prefix scores
+    token-by-token inside its AR loop (reference sequence_generator.py:
+    273-284,370-418) — serial in decode length.  This splits the same two
+    scores into two batched passes:
+
+      1. encoder forward -> CTC posteriors -> open-vocabulary N-best prefix
+         beam (decode/nbest.py, native csrc/ctc_beam.cpp:ctc_nbest);
+      2. a single jitted teacher-forced decoder forward over all B*N
+         hypotheses at once (MXU-batched — no AR loop), scoring each
+         hypothesis `sum log P(tok_i | prefix, enc)` including EOS;
+
+    picked by `(1-w)*attention + w*ctc`, the joint beam's combination rule.
+    Decode cost is two parallel forwards instead of max_len serial decoder
+    steps, so throughput sits near the encoder-only CTC operating point
+    (PERF.md section 11) while the decoder pass recovers beam-level WER on
+    CTC confusions (e.g. doubled letters: HELLO vs HELO).
+    """
+
+    def __init__(self, model, variables, *, blank_id: int, eos_id: int,
+                 pad_id: int, nbest: int = 8, beam: int = 16,
+                 topk: int = 0, ctc_weight: float = 0.3,
+                 max_len: Optional[int] = None, blank_skip: float = 0.95,
+                 encode_method: str = "encode_speech", len_step: int = 32):
+        self.model = model
+        self.variables = variables
+        self.blank_id = blank_id
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.nbest = nbest
+        self.beam = max(beam, nbest)
+        self.topk = topk
+        self.ctc_weight = ctc_weight
+        self.max_len = max_len  # cap on scored hypothesis length (tokens)
+        # frames with P(blank) above this take only the stay transitions in
+        # pass 1 (~90% of frames for trained models); 1.0 disables
+        import math as _math
+
+        self.blank_thresh = _math.log(blank_skip) if blank_skip > 0 else 0.0
+        self.encode_method = encode_method
+        self.len_step = len_step
+        self._enc = jax.jit(self._enc_impl)
+        self._score = jax.jit(self._score_impl)
+
+    def _enc_impl(self, variables, enc_args):
+        enc = self.model.apply(
+            variables, *enc_args, method=self.encode_method, with_ctc=True
+        )
+        lengths = enc["valid_mask"].astype(jnp.int32).sum(-1)
+        lp = jax.nn.log_softmax(enc["ctc_logits"].astype(jnp.float32), axis=-1)
+        return enc["encoder_out"], enc["valid_mask"], lp, lengths
+
+    def _score_impl(self, variables, enc_out, enc_valid, prev, tgt, tmask):
+        B, N, L = prev.shape
+        enc = {
+            "encoder_out": jnp.repeat(enc_out, N, axis=0),
+            "valid_mask": jnp.repeat(enc_valid, N, axis=0),
+        }
+        logits = self.model.apply(
+            variables, enc, prev.reshape(B * N, L), method="decode_text"
+        )
+        lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(
+            lsm, tgt.reshape(B * N, L)[..., None], axis=-1
+        )[..., 0]
+        return (tok_lp * tmask.reshape(B * N, L)).sum(-1).reshape(B, N)
+
+    def __call__(self, *enc_args) -> list:
+        """Returns a list of B token-id lists."""
+        from .nbest import ctc_nbest_batch
+
+        enc_out, enc_valid, lp, lengths = self._enc(self.variables, enc_args)
+        lp_h = np.asarray(lp)
+        len_h = np.asarray(lengths)
+        B = lp_h.shape[0]
+        batch_cands = ctc_nbest_batch(
+            lp_h, len_h, blank=self.blank_id,
+            beam=self.beam, nbest=self.nbest, topk=self.topk,
+            blank_thresh=self.blank_thresh,
+        )
+        hyp_rows, ctc_rows = [], []
+        for b in range(B):
+            cands = batch_cands[b]
+            if not cands:
+                cands = [([], 0.0)]
+            if self.max_len is not None:
+                cands = [(t[: self.max_len], s) for t, s in cands]
+            while len(cands) < self.nbest:
+                cands.append(cands[0])  # duplicate rows tie; argmax -> first
+            hyp_rows.append([c[0] for c in cands])
+            ctc_rows.append([c[1] for c in cands])
+
+        maxtgt = max(len(h) for row in hyp_rows for h in row) + 1  # + EOS
+        L = -(-maxtgt // self.len_step) * self.len_step  # bucket compiles
+        prev = np.full((B, self.nbest, L), self.pad_id, np.int32)
+        tgt = np.full((B, self.nbest, L), self.pad_id, np.int32)
+        tmask = np.zeros((B, self.nbest, L), np.float32)
+        prev[:, :, 0] = self.eos_id
+        for b, row in enumerate(hyp_rows):
+            for n, toks in enumerate(row):
+                k = len(toks)
+                prev[b, n, 1 : k + 1] = toks
+                tgt[b, n, :k] = toks
+                tgt[b, n, k] = self.eos_id
+                tmask[b, n, : k + 1] = 1.0
+        att = np.asarray(self._score(
+            self.variables, enc_out, enc_valid,
+            jnp.asarray(prev), jnp.asarray(tgt), jnp.asarray(tmask),
+        ))
+        total = (1.0 - self.ctc_weight) * att \
+            + self.ctc_weight * np.asarray(ctc_rows)
+        best = total.argmax(axis=1)
+        return [hyp_rows[b][int(best[b])] for b in range(B)]

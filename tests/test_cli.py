@@ -87,6 +87,19 @@ def test_train_then_evaluate_overfit(corpus):
     assert greedy["decoder"] == "ctc_greedy"
     assert greedy["value"] < 0.20, f"ctc_greedy WER too high: {greedy}"
 
+    # two-pass rescore: CTC N-best prefix beam + one teacher-forced decoder
+    # forward.  The decoder pass must recover the doubled-letter confusions
+    # greedy makes (HELLO -> HELO), matching the AR beam's WER at
+    # encoder-forward cost.
+    rescore = eval_main(common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--decoder", "ctc_rescore", "--batch-size", "8",
+        "--ctc-weight", "0.3",
+    ])
+    assert rescore["decoder"] == "ctc_rescore"
+    assert rescore["value"] <= greedy["value"], (greedy, rescore)
+    assert rescore["value"] < 0.05, f"ctc_rescore WER too high: {rescore}"
+
     from speecht5_tpu.data import native
     if native.available():
         from speecht5_tpu.cli.prep import main as prep_main
