@@ -182,6 +182,35 @@ def main():
     except Exception as e:  # secondary metric; never lose the beam number
         ph(f"CTC decode bench failed: {e!r}")
 
+    # ------------------------------------------- two-pass CTC -> att rescore
+    # CTC N-best prefix beam (native, csrc ctc_nbest) + one teacher-forced
+    # decoder forward over all B*nbest hypotheses — beam-level WER with no AR
+    # loop (PERF.md §11b).  Random-init posteriors are near-uniform, so this
+    # measures the WORST case for pass 1 (every hypothesis grows to max_len).
+    try:
+        from speecht5_tpu.decode.asr import RescoreDecoder
+
+        rs_dec = RescoreDecoder(
+            model, variables, blank_id=cfg.blank_id, eos_id=cfg.eos_id,
+            pad_id=cfg.pad_id, nbest=8, beam=16, topk=8,
+            ctc_weight=0.3, max_len=MAX_LEN,
+        )
+        rs_dec(wavs[0], lengths)  # compile (enc + score L-bucket)
+        ph("CTC rescore decode compiled")
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            rs_dec(wavs[1 + i], lengths)
+            ts.append(time.perf_counter() - t0)
+        rs_dt = sorted(ts)[len(ts) // 2]
+        extras["rescore_decode_x_realtime"] = round(
+            BATCH * AUDIO_SECONDS / rs_dt, 1)
+        ph(f"CTC rescore steady {rs_dt*1000:.1f}ms/batch "
+           f"-> {extras['rescore_decode_x_realtime']:.0f}x realtime "
+           f"(worst-case near-uniform posteriors)")
+    except Exception as e:  # secondary metric; never lose the beam number
+        ph(f"rescore decode bench failed: {e!r}")
+
     # ---------------------------------------------------------------- TTS
     try:
         # full-size HiFi-GAN v1 in the decode program: the RTF target includes

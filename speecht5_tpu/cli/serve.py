@@ -129,6 +129,10 @@ class Service:
         self.asr_requests = 0   # chunks decoded (>= calls under batching)
         self._queue = []
         self._queue_cv = threading.Condition()
+        self.tts_calls = 0
+        self.tts_requests = 0
+        self._tts_queue = []
+        self._tts_cv = threading.Condition()
         if args.task in ("s2t", "both"):
             if args.decoder == "ctc_greedy":
                 # encoder-only viterbi decode: one MXU-bound forward per
@@ -179,12 +183,17 @@ class Service:
                 model, self.variables, max_frames=args.max_frames,
                 vocoder=voc, vocoder_variables=voc_vars,
             )
-            toks = jnp.full((1, args.tts_bucket_tokens), cfg.eos_id,
-                            jnp.int32)
-            spk = jnp.zeros((1, cfg.spk_embed_dim), jnp.float32)
-            out = self.tts.text_to_speech(toks, spk)
-            jax.block_until_ready(out.mel)
-            print("warmed TTS", flush=True)
+            for bs in sorted({1, self.max_batch}):
+                toks = jnp.full((bs, args.tts_bucket_tokens), cfg.eos_id,
+                                jnp.int32)
+                spk = jnp.zeros((bs, cfg.spk_embed_dim), jnp.float32)
+                out = self.tts.text_to_speech(toks, spk)
+                jax.block_until_ready(out.mel)
+                print(f"warmed TTS batch {bs}", flush=True)
+            if self.max_batch > 1:
+                t = threading.Thread(target=self._tts_batcher_loop,
+                                     daemon=True)
+                t.start()
 
     def buckets(self):
         return [int(s) for s in self.args.asr_buckets.split(",")]
@@ -332,19 +341,11 @@ class Service:
             texts = [self._wait(s) for s in slots]
         return self._join_transcripts(texts)
 
-    def synthesize(self, text: str) -> np.ndarray:
+    def _synth_batch(self, toks: np.ndarray, n_real: int) -> list:
+        """One device TTS program over ``toks`` [R, L]; returns the first
+        ``n_real`` waveforms (padding rows synthesize silence, never read)."""
         jnp = self._jnp
-        cfg = self.cfg
-        ids = self.dictionary.encode_line(
-            " ".join(list(text.upper().replace(" ", "|"))))
-        L = self.args.tts_bucket_tokens
-        if len(ids) > L:
-            raise RequestTooLarge(
-                f"text tokenizes to {len(ids)} ids; --tts-bucket-tokens {L}"
-            )
-        toks = np.full((1, L), cfg.pad_id, np.int32)
-        toks[0, : len(ids)] = ids
-        spk = np.zeros((1, cfg.spk_embed_dim), np.float32)
+        spk = np.zeros((toks.shape[0], self.cfg.spk_embed_dim), np.float32)
         with self.lock:
             out = self.tts.text_to_speech(jnp.asarray(toks),
                                           jnp.asarray(spk))
@@ -352,8 +353,67 @@ class Service:
                 raise RuntimeError(
                     "no vocoder loaded — start with --vocoder-ckpt "
                     "(a converted HiFi-GAN checkpoint)")
-            n = int(np.asarray(out.wav_lengths)[0])
-            return np.asarray(out.wav)[0, :n]
+            wavs = np.asarray(out.wav)
+            wav_lens = np.asarray(out.wav_lengths)
+            self.tts_calls += 1
+            self.tts_requests += n_real
+        return [wavs[b, : int(wav_lens[b])] for b in range(n_real)]
+
+    def _tts_batcher_loop(self):
+        """Coalesce concurrent /tts requests into one batched AR decode —
+        the batched program amortizes the serial mel loop (batch-4 RTF is
+        2.2x the batch-1 latency point, bench.py)."""
+        import time as _time
+
+        while True:
+            with self._tts_cv:
+                while not self._tts_queue:
+                    self._tts_cv.wait()
+            deadline = _time.monotonic() + self.batch_window_s
+            while _time.monotonic() < deadline:
+                with self._tts_cv:
+                    if len(self._tts_queue) >= self.max_batch:
+                        break
+                _time.sleep(self.batch_window_s / 10)
+            with self._tts_cv:
+                group = self._tts_queue[: self.max_batch]
+                del self._tts_queue[: len(group)]
+            L = self.args.tts_bucket_tokens
+            rows = 1 if len(group) == 1 else self.max_batch
+            toks = np.full((rows, L), self.cfg.pad_id, np.int32)
+            for b, s in enumerate(group):
+                toks[b, : len(s["ids"])] = s["ids"]
+            try:
+                wavs = self._synth_batch(toks, n_real=len(group))
+                for b, s in enumerate(group):
+                    s["wav"] = wavs[b]
+            except Exception as e:  # noqa: BLE001 — deliver to the waiters
+                for s in group:
+                    s["error"] = e
+            finally:
+                for s in group:
+                    s["event"].set()
+
+    def synthesize(self, text: str) -> np.ndarray:
+        ids = self.dictionary.encode_line(
+            " ".join(list(text.upper().replace(" ", "|"))))
+        L = self.args.tts_bucket_tokens
+        if len(ids) > L:
+            raise RequestTooLarge(
+                f"text tokenizes to {len(ids)} ids; --tts-bucket-tokens {L}"
+            )
+        if self.max_batch <= 1:
+            toks = np.full((1, L), self.cfg.pad_id, np.int32)
+            toks[0, : len(ids)] = ids
+            return self._synth_batch(toks, n_real=1)[0]
+        slot = {"event": threading.Event(), "ids": ids, "wav": None}
+        with self._tts_cv:
+            self._tts_queue.append(slot)
+            self._tts_cv.notify()
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["wav"]
 
 
 def make_handler(svc: Service):
@@ -380,6 +440,8 @@ def make_handler(svc: Service):
                     "max_batch": svc.max_batch,
                     "asr_calls": svc.asr_calls,
                     "asr_requests": svc.asr_requests,
+                    "tts_calls": svc.tts_calls,
+                    "tts_requests": svc.tts_requests,
                 })
             else:
                 self._json(404, {"error": "not found"})

@@ -402,11 +402,11 @@ def serve_ckpt(corpus, tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("decoder", ["beam", "ctc_greedy"])
+@pytest.mark.parametrize("decoder", ["beam", "ctc_greedy", "ctc_rescore"])
 def test_serve_asr_http(corpus, serve_ckpt, decoder):
     """cli.serve: HTTP ASR endpoint — health check, WAV round-trip, chunked
-    long audio, 413 caps, micro-batching — under BOTH decode algorithms
-    (joint beam and the encoder-only CTC throughput path)."""
+    long audio, 413 caps, micro-batching — under ALL decode algorithms
+    (joint beam, encoder-only CTC viterbi, two-pass CTC rescore)."""
     import http.client
     import io
     import signal as _signal
@@ -579,6 +579,7 @@ def test_serve_tts_http(corpus, tmp_path):
          "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
          "--vocoder-ckpt", str(voc_dir),
          "--port", "0", "--max-frames", "64", "--tts-bucket-tokens", "16",
+         "--max-batch", "2", "--batch-window-ms", "200",
          "--dtype", "float32"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=cpu_subprocess_env(),
@@ -612,6 +613,42 @@ def test_serve_tts_http(corpus, tmp_path):
         body413 = r.read()
         assert r.status == 413, body413[:200]
         assert "error" in json.loads(body413)
+
+        # concurrent /tts requests coalesce into one batched AR decode:
+        # device programs launched < requests served (observable counters)
+        import threading as _threading
+
+        conn.request("GET", "/healthz")
+        before = json.loads(conn.getresponse().read())
+        results = [None, None]
+
+        def post_tts(i, text):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            b = json.dumps({"text": text}).encode()
+            c.request("POST", "/tts", body=b,
+                      headers={"Content-Length": str(len(b))})
+            rr = c.getresponse()
+            results[i] = (rr.status, rr.read())
+            c.close()
+
+        threads = [
+            _threading.Thread(target=post_tts, args=(i, t))
+            for i, t in enumerate(("HELLO", "WORLD"))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, data in results:
+            assert status == 200, data[:200]
+            with wave.open(io.BytesIO(data)) as w:
+                assert w.getnframes() > 0
+        conn.request("GET", "/healthz")
+        after = json.loads(conn.getresponse().read())
+        calls = after["tts_calls"] - before["tts_calls"]
+        reqs = after["tts_requests"] - before["tts_requests"]
+        assert reqs == 2, (before, after)
+        assert calls < reqs, f"no TTS batching: {calls} calls / {reqs} reqs"
     finally:
         proc.send_signal(_signal.SIGTERM)
         try:
