@@ -305,40 +305,13 @@ HypKey make_key(const Hyp& h) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-void* lexdec_create(const char* lexicon_path, const char* arpa_path,
-                    const char** vocab, int64_t V, int32_t blank,
-                    int32_t sep, double lm_weight, double word_score,
-                    int32_t beam) {
-    auto* d = new Decoder();
-    d->blank = blank;
-    d->sep = sep;
-    d->lm_weight = lm_weight;
-    d->word_score = word_score;
-    d->beam = beam;
-    for (int64_t i = 0; i < V; i++) d->token_ids[vocab[i]] = (int32_t)i;
-    if (arpa_path && arpa_path[0]) d->has_lm = d->lm.load(arpa_path);
-    if (!d->load_lexicon(lexicon_path)) { delete d; return nullptr; }
-    return d;
-}
-
-void lexdec_free(void* p) { delete static_cast<Decoder*>(p); }
-
-// Compile a text ARPA LM into the fast binary format (KenLM build_binary's
-// role).  Returns 0 on success.
-int32_t lexlm_build_binary(const char* arpa_path, const char* bin_path) {
-    NGramLM lm;
-    if (!lm.load(arpa_path)) return 1;
-    return lm.save_binary(bin_path) ? 0 : 2;
-}
-
-// Decode one utterance.  lp: [T, V] natural-log posteriors.  Returns number
-// of output tokens written to out_tokens (caller capacity T); out_score gets
-// the total (acoustic + weighted LM) score of the 1-best.
-int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
-                      int32_t* out_tokens, double* out_score) {
-    auto* d = static_cast<Decoder*>(p);
+// run the lexicon beam over one utterance and return the FINALIZED
+// hypotheses (word-boundary closure + dangling-word penalty applied),
+// unsorted.  Shared by the 1-best and N-best entry points.
+std::vector<Hyp> lexdec_finals(Decoder* d, const float* lp, int64_t T,
+                               int64_t V) {
     std::vector<Hyp> beam_hyps(1);
     beam_hyps[0].p_b = 0.0;
 
@@ -440,6 +413,48 @@ int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
         }
         finals.push_back(std::move(f));
     }
+    return finals;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lexdec_create(const char* lexicon_path, const char* arpa_path,
+                    const char** vocab, int64_t V, int32_t blank,
+                    int32_t sep, double lm_weight, double word_score,
+                    int32_t beam) {
+    auto* d = new Decoder();
+    d->blank = blank;
+    d->sep = sep;
+    d->lm_weight = lm_weight;
+    d->word_score = word_score;
+    d->beam = beam;
+    for (int64_t i = 0; i < V; i++) d->token_ids[vocab[i]] = (int32_t)i;
+    if (arpa_path && arpa_path[0]) d->has_lm = d->lm.load(arpa_path);
+    if (!d->load_lexicon(lexicon_path)) { delete d; return nullptr; }
+    return d;
+}
+
+void lexdec_free(void* p) { delete static_cast<Decoder*>(p); }
+
+// Compile a text ARPA LM into the fast binary format (KenLM build_binary's
+// role).  Returns 0 on success.
+int32_t lexlm_build_binary(const char* arpa_path, const char* bin_path) {
+    NGramLM lm;
+    if (!lm.load(arpa_path)) return 1;
+    return lm.save_binary(bin_path) ? 0 : 2;
+}
+
+// Decode one utterance.  lp: [T, V] natural-log posteriors.  Returns number
+// of output tokens written to out_tokens (caller capacity T); out_score gets
+// the total (acoustic + weighted LM) score of the 1-best.
+int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
+                      int32_t* out_tokens, double* out_score) {
+    auto* d = static_cast<Decoder*>(p);
+    std::vector<Hyp> finals = lexdec_finals(d, lp, T, V);
+    double best = NEG_INF;
+    const Hyp* best_h = nullptr;
     for (const Hyp& h : finals) {
         if (h.total() > best) { best = h.total(); best_h = &h; }
     }
@@ -447,6 +462,27 @@ int64_t lexdec_decode(void* p, const float* lp, int64_t T, int64_t V,
     int64_t n = std::min<int64_t>((int64_t)best_h->tokens.size(), T);
     for (int64_t i = 0; i < n; i++) out_tokens[i] = best_h->tokens[i];
     *out_score = best;
+    return n;
+}
+
+// N-best variant: writes up to `nbest` finalized hypotheses sorted by
+// total score (acoustic + weighted LM), out_tokens [nbest, T] row-major.
+// Feeds the lexicon-constrained arm of the two-pass attention rescore.
+int64_t lexdec_decode_nbest(void* p, const float* lp, int64_t T, int64_t V,
+                            int32_t nbest, int32_t* out_tokens,
+                            int32_t* out_lens, double* out_scores) {
+    auto* d = static_cast<Decoder*>(p);
+    std::vector<Hyp> finals = lexdec_finals(d, lp, T, V);
+    std::sort(finals.begin(), finals.end(),
+              [](const Hyp& a, const Hyp& b) { return a.total() > b.total(); });
+    int64_t n = std::min<int64_t>(nbest, (int64_t)finals.size());
+    for (int64_t i = 0; i < n; i++) {
+        int64_t m = std::min<int64_t>((int64_t)finals[i].tokens.size(), T);
+        for (int64_t j = 0; j < m; j++)
+            out_tokens[i * T + j] = finals[i].tokens[j];
+        out_lens[i] = (int32_t)m;
+        out_scores[i] = finals[i].total();
+    }
     return n;
 }
 

@@ -265,12 +265,28 @@ def main(argv=None):
 
             if ensemble:
                 raise SystemExit("--ensemble-last requires --decoder beam")
+            lexicon = None
+            if args.lexicon:
+                # lexicon+LM-constrained N-best, attention-rescored — the
+                # strongest operating point (reference infer_fsqlm.yaml
+                # couples the flashlight beam with a fairseq LM similarly)
+                from ..decode.lexicon import LexiconDecoder
+
+                sep_id = dictionary.index("|")
+                if sep_id == dictionary.unk_index:
+                    raise SystemExit("dictionary has no '|' word separator")
+                lexicon = LexiconDecoder(
+                    args.lexicon, list(dictionary.symbols),
+                    arpa_path=args.lm_path, blank=cfg.blank_id, sep=sep_id,
+                    lm_weight=args.lm_weight, word_score=args.word_score,
+                    beam=args.ctc_beam_size,
+                )
             decode_rows = RescoreDecoder(
                 model, shard_vars(variables),
                 blank_id=cfg.blank_id, eos_id=cfg.eos_id, pad_id=cfg.pad_id,
                 nbest=args.rescore_nbest, beam=args.ctc_beam_size,
                 topk=args.ctc_topk, ctc_weight=args.ctc_weight,
-                max_len=args.max_len,
+                max_len=args.max_len, lexicon=lexicon,
             )
         else:
             from ..decode.asr import CTCDecoder

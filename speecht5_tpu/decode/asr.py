@@ -405,7 +405,12 @@ class RescoreDecoder:
                  pad_id: int, nbest: int = 8, beam: int = 16,
                  topk: int = 0, ctc_weight: float = 0.3,
                  max_len: Optional[int] = None, blank_skip: float = 0.95,
+                 lexicon=None,
                  encode_method: str = "encode_speech", len_step: int = 32):
+        """``lexicon``: optional ``decode.lexicon.LexiconDecoder`` — pass 1
+        then produces lexicon+LM-constrained N-best (the reference's
+        flashlight/kenlm decode), and pass 2 rescoring picks among valid-word
+        hypotheses only: the strongest WER operating point."""
         self.model = model
         self.variables = variables
         self.blank_id = blank_id
@@ -421,6 +426,7 @@ class RescoreDecoder:
         import math as _math
 
         self.blank_thresh = _math.log(blank_skip) if blank_skip > 0 else 0.0
+        self.lexicon = lexicon
         self.encode_method = encode_method
         self.len_step = len_step
         self._enc = jax.jit(self._enc_impl)
@@ -457,11 +463,18 @@ class RescoreDecoder:
         lp_h = np.asarray(lp)
         len_h = np.asarray(lengths)
         B = lp_h.shape[0]
-        batch_cands = ctc_nbest_batch(
-            lp_h, len_h, blank=self.blank_id,
-            beam=self.beam, nbest=self.nbest, topk=self.topk,
-            blank_thresh=self.blank_thresh,
-        )
+        if self.lexicon is not None:
+            batch_cands = [
+                self.lexicon.decode_nbest(lp_h[b, : int(len_h[b])],
+                                          nbest=self.nbest)
+                for b in range(B)
+            ]
+        else:
+            batch_cands = ctc_nbest_batch(
+                lp_h, len_h, blank=self.blank_id,
+                beam=self.beam, nbest=self.nbest, topk=self.topk,
+                blank_thresh=self.blank_thresh,
+            )
         hyp_rows, ctc_rows = [], []
         for b in range(B):
             cands = batch_cands[b]

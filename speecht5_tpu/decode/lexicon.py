@@ -160,14 +160,26 @@ def lexicon_beam_py(
     word_score: float = 0.0,
     beam: int = 50,
 ) -> Tuple[List[int], float]:
-    """Pure-Python reference of csrc/ctc_beam.cpp (identical algorithm)."""
+    """Pure-Python reference of csrc/ctc_beam.cpp (identical algorithm);
+    1-best head of ``lexicon_beam_nbest_py``."""
+    finals = lexicon_beam_nbest_py(lp, lexicon, blank, sep, lm=lm,
+                                   lm_weight=lm_weight,
+                                   word_score=word_score, beam=beam,
+                                   nbest=1)
+    return finals[0] if finals else ([], NEG_INF)
+
+
+def lexicon_beam_nbest_py(lp, lexicon, blank, sep, lm=None, lm_weight=0.0,
+                          word_score=0.0, beam=50, nbest=8):
+    """N-best variant of ``lexicon_beam_py``: finalized hypotheses sorted
+    by total score (mirrors csrc lexdec_decode_nbest)."""
     children, words = _build_trie(lexicon)
     hyps = [_Hyp(p_b=0.0)]
     for t in range(lp.shape[0]):
         row = lp[t]
-        nxt: Dict[tuple, _Hyp] = {}
+        nxt = {}
 
-        def merge(h: _Hyp):
+        def merge(h):
             k = (h.tokens, h.ctx)
             got = nxt.get(k)
             if got is None:
@@ -216,8 +228,8 @@ def lexicon_beam_py(
         elif f.node != ():
             f.lm += -1e4
         finals.append(f)
-    best = max(finals, key=lambda h: h.total())
-    return list(best.tokens), best.total()
+    finals.sort(key=lambda h: -h.total())
+    return [(list(f.tokens), f.total()) for f in finals[:nbest]]
 
 
 def build_binary_lm(arpa_path: str, bin_path: str) -> None:
@@ -266,6 +278,13 @@ class LexiconDecoder:
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.lexdec_decode_nbest.restype = ctypes.c_int64
+        lib.lexdec_decode_nbest.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.lexdec_free.restype = None
         lib.lexdec_free.argtypes = [ctypes.c_void_p]
         self._lib = lib
@@ -294,6 +313,26 @@ class LexiconDecoder:
             ctypes.byref(score),
         )
         return out[:n].tolist(), score.value
+
+    def decode_nbest(self, lp: np.ndarray, nbest: int = 8
+                     ) -> List[Tuple[List[int], float]]:
+        """lp: [T, V] natural-log posteriors -> up to ``nbest``
+        (token ids, total score) pairs, best first — the lexicon+LM
+        constrained pass 1 of the two-pass attention rescore."""
+        lp = np.ascontiguousarray(lp, np.float32)
+        T, V = lp.shape
+        out_tokens = np.zeros((nbest, max(T, 1)), np.int32)
+        out_lens = np.zeros((nbest,), np.int32)
+        out_scores = np.zeros((nbest,), np.float64)
+        n = self._lib.lexdec_decode_nbest(
+            self._h, lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            T, V, nbest,
+            out_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return [(out_tokens[i, : out_lens[i]].tolist(),
+                 float(out_scores[i])) for i in range(n)]
 
     def __del__(self):
         if getattr(self, "_h", None):

@@ -118,6 +118,16 @@ def test_train_then_evaluate_overfit(corpus):
         assert lexicon["value"] < 0.05, (greedy, lexicon)
         assert lexicon["value"] <= greedy["value"], (greedy, lexicon)
 
+        # lexicon-constrained N-best + attention rescore: pass 1 restricted
+        # to valid-word hypotheses, pass 2 the decoder pick — the strongest
+        # WER operating point (reference infer_fsqlm.yaml analogue)
+        rescore_lex = eval_main(common + [
+            "--task", "s2t", "--ckpt", str(save),
+            "--decoder", "ctc_rescore", "--lexicon", str(lex),
+            "--batch-size", "8", "--ctc-weight", "0.3",
+        ])
+        assert rescore_lex["value"] < 0.05, (lexicon, rescore_lex)
+
 
 def test_validation_loop_with_ctc_wer(corpus, capsys):
     """Validation runs at --valid-interval and reports loss + greedy-CTC

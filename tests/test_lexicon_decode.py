@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from speecht5_tpu.decode.lexicon import (
-    NGramLM, lexicon_beam_py, LexiconDecoder,
+    NGramLM, lexicon_beam_py, lexicon_beam_nbest_py, LexiconDecoder,
 )
 from speecht5_tpu.data import native
 
@@ -148,6 +148,33 @@ class TestNativeParity:
             got_toks, got_score = dec.decode(lp)
             assert got_toks == want_toks, f"trial {trial}"
             np.testing.assert_allclose(got_score, want_score, rtol=1e-4)
+
+    @pytest.mark.skipif(not native.available(), reason="no toolchain")
+    def test_cpp_nbest_matches_python(self, lexicon_file, arpa, rng):
+        """N-best finals (pass 1 of the lexicon-constrained attention
+        rescore): same hypotheses, same order, same scores as the Python
+        reference; row 0 equals the 1-best entry point."""
+        dec = LexiconDecoder(
+            lexicon_file, VOCAB, arpa_path=arpa, blank=BLANK, sep=SEP,
+            lm_weight=1.5, word_score=-0.3, beam=30,
+        )
+        lm = NGramLM(arpa)
+        for trial in range(10):
+            T = int(rng.integers(3, 9))
+            e = rng.random((T, 4)) + 1e-3
+            lp = np.log(e / e.sum(-1, keepdims=True)).astype(np.float32)
+            want = lexicon_beam_nbest_py(
+                lp, LEXICON, BLANK, SEP, lm=lm, lm_weight=1.5,
+                word_score=-0.3, beam=30, nbest=5,
+            )
+            got = dec.decode_nbest(lp, nbest=5)
+            assert len(got) == len(want), f"trial {trial}"
+            for (gt, gs), (wt, ws) in zip(got, want):
+                assert gt == wt, f"trial {trial}"
+                np.testing.assert_allclose(gs, ws, rtol=1e-4)
+            best_toks, best_score = dec.decode(lp)
+            assert got[0][0] == best_toks
+            np.testing.assert_allclose(got[0][1], best_score, rtol=1e-6)
 
     @pytest.mark.skipif(not native.available(), reason="no toolchain")
     def test_cpp_no_lm(self, lexicon_file, rng):
