@@ -144,13 +144,30 @@ class Service:
                     model, self.variables, blank_id=cfg.blank_id))
             elif args.decoder == "ctc_rescore":
                 # two-pass CTC N-best + teacher-forced decoder rescore:
-                # beam-level WER at near-greedy throughput (no AR loop)
+                # beam-level WER at near-greedy throughput (no AR loop);
+                # --lexicon [--lm-path] constrains pass 1 to lexicon words
+                # with n-gram LM fusion
                 from ..decode.asr import RescoreDecoder
 
+                lexicon = None
+                if args.lexicon:
+                    from ..decode.lexicon import LexiconDecoder
+
+                    sep_id = dictionary.index("|")
+                    if sep_id == dictionary.unk_index:
+                        raise SystemExit(
+                            "dictionary has no '|' word separator")
+                    lexicon = LexiconDecoder(
+                        args.lexicon, list(dictionary.symbols),
+                        arpa_path=args.lm_path, blank=cfg.blank_id,
+                        sep=sep_id, lm_weight=args.lm_weight,
+                        word_score=args.word_score, beam=50,
+                    )
                 self.asr = _CTCAdapter(RescoreDecoder(
                     model, self.variables, blank_id=cfg.blank_id,
                     eos_id=cfg.eos_id, pad_id=cfg.pad_id,
-                    ctc_weight=args.ctc_weight, max_len=args.max_len))
+                    ctc_weight=args.ctc_weight, max_len=args.max_len,
+                    lexicon=lexicon))
             else:
                 from ..decode.asr import ASRDecoder
 
@@ -488,8 +505,17 @@ def main(argv=None):
     p.add_argument("--decoder", default="beam",
                    choices=("beam", "ctc_greedy", "ctc_rescore"),
                    help="/asr algorithm: joint CTC/attention beam search, "
-                        "or encoder-only CTC viterbi (17x throughput, "
-                        "PERF.md §11)")
+                        "encoder-only CTC viterbi (17x throughput, "
+                        "PERF.md §11), or two-pass CTC N-best + attention "
+                        "rescore (§11b)")
+    p.add_argument("--lexicon", default=None,
+                   help="ctc_rescore: constrain pass-1 hypotheses to this "
+                        "lexicon ('word<TAB>tok1 tok2 ...' lines)")
+    p.add_argument("--lm-path", default=None,
+                   help="ctc_rescore + --lexicon: word n-gram LM "
+                        "(ARPA/.arpa.gz or prep lm-binary output)")
+    p.add_argument("--lm-weight", type=float, default=0.0)
+    p.add_argument("--word-score", type=float, default=0.0)
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--ctc-weight", type=float, default=0.3)

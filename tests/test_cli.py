@@ -412,11 +412,13 @@ def serve_ckpt(corpus, tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("decoder", ["beam", "ctc_greedy", "ctc_rescore"])
+@pytest.mark.parametrize(
+    "decoder", ["beam", "ctc_greedy", "ctc_rescore", "ctc_rescore_lex"])
 def test_serve_asr_http(corpus, serve_ckpt, decoder):
     """cli.serve: HTTP ASR endpoint — health check, WAV round-trip, chunked
     long audio, 413 caps, micro-batching — under ALL decode algorithms
-    (joint beam, encoder-only CTC viterbi, two-pass CTC rescore)."""
+    (joint beam, encoder-only CTC viterbi, two-pass CTC rescore, and the
+    lexicon-constrained rescore arm)."""
     import http.client
     import io
     import signal as _signal
@@ -428,12 +430,27 @@ def test_serve_asr_http(corpus, serve_ckpt, decoder):
     save = serve_ckpt
     from conftest import cpu_subprocess_env
 
+    extra = []
+    if decoder == "ctc_rescore_lex":
+        from speecht5_tpu.data import native
+
+        if not native.available():
+            pytest.skip("lexicon decoder needs the native library")
+        from speecht5_tpu.cli.prep import main as prep_main
+
+        wrd = corpus / "serve_words.wrd"
+        wrd.write_text("\n".join(WORDS) + "\n")
+        lex = corpus / "serve_lexicon.txt"
+        prep_main(["letter-lexicon", "-i", str(wrd), "-o", str(lex)])
+        decoder = "ctc_rescore"
+        extra = ["--lexicon", str(lex)]
+
     env = cpu_subprocess_env()
     proc = subprocess.Popen(
         [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
          "--task", "s2t", "--arch", "speecht5_tiny",
          "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
-         "--decoder", decoder,
+         "--decoder", decoder, *extra,
          "--port", "0", "--beam", "2", "--max-len", "8",
          "--asr-buckets", "1", "--dtype", "float32",
          "--max-batch", "3", "--batch-window-ms", "150",
