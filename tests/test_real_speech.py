@@ -106,6 +106,16 @@ def test_real_speech_train_evaluate(corpus):
     ])
     assert greedy["value"] < 0.05, f"ctc_greedy WER on real speech: {greedy}"
 
+    # two-pass rescore on real speech: the CTC N-best + one teacher-forced
+    # decoder pass must do at least as well as greedy (the decoder only has
+    # to RANK memorized hypotheses, not free-run)
+    rescore = _run_cli("evaluate", common + [
+        "--task", "s2t", "--ckpt", str(save),
+        "--decoder", "ctc_rescore", "--batch-size", "1",
+        "--ctc-weight", "0.5",
+    ])
+    assert rescore["value"] <= max(greedy["value"], 0.05), (greedy, rescore)
+
     # AR beam sanity: the decoder + cross-attention also learned the real
     # acoustics — gate the transcript PREFIX.  Full-sequence AR
     # memorization of a 160-token target needs far more steps than this
