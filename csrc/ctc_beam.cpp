@@ -19,6 +19,7 @@
 #include <cstring>
 #include <algorithm>
 #include <fstream>
+#include <map>
 #include <thread>
 #include <sstream>
 #include <string>
@@ -393,8 +394,6 @@ std::vector<Hyp> lexdec_finals(Decoder* d, const float* lp, int64_t T,
 
     // finalize: prefer hypotheses that END at a word boundary (trie root) or
     // complete a word; apply the final word's LM score if pending
-    double best = NEG_INF;
-    const Hyp* best_h = nullptr;
     std::vector<Hyp> finals;
     finals.reserve(beam_hyps.size());
     for (const Hyp& h : beam_hyps) {
@@ -473,6 +472,23 @@ int64_t lexdec_decode_nbest(void* p, const float* lp, int64_t T, int64_t V,
                             int32_t* out_lens, double* out_scores) {
     auto* d = static_cast<Decoder*>(p);
     std::vector<Hyp> finals = lexdec_finals(d, lp, T, V);
+    // Beam entries keyed by (tokens, LM context) can finalize to identical
+    // token sequences; dedupe by sequence (keep the max-scoring entry) so
+    // duplicates don't occupy N-best slots fed to the attention rescore.
+    {
+        std::map<std::vector<int32_t>, size_t> best_of;
+        std::vector<Hyp> uniq;
+        for (Hyp& f : finals) {
+            auto it = best_of.find(f.tokens);
+            if (it == best_of.end()) {
+                best_of.emplace(f.tokens, uniq.size());
+                uniq.push_back(std::move(f));
+            } else if (f.total() > uniq[it->second].total()) {
+                uniq[it->second] = std::move(f);
+            }
+        }
+        finals = std::move(uniq);
+    }
     std::sort(finals.begin(), finals.end(),
               [](const Hyp& a, const Hyp& b) { return a.total() > b.total(); });
     int64_t n = std::min<int64_t>(nbest, (int64_t)finals.size());
@@ -623,6 +639,13 @@ int64_t nbest_impl(const float* lp, int64_t T, int64_t V,
                   });
         if ((int64_t)hyps.size() > beam) hyps.resize(beam);
     }
+
+    // Blank-skipped frames after the last per-frame sort update scores in
+    // place, so the beam can end non-descending (trailing silence is exactly
+    // the blank-dominated case).  Restore the documented descending contract
+    // before emitting — matches ctc_nbest_py's final sorted().
+    std::sort(hyps.begin(), hyps.end(),
+              [](const OHyp& a, const OHyp& b) { return a.total() > b.total(); });
 
     int64_t n = std::min<int64_t>(nbest, (int64_t)hyps.size());
     for (int64_t i = 0; i < n; i++) {

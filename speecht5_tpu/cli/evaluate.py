@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--results-path", default=None)
+    p.add_argument("--griffin-lim", action="store_true",
+                   help="t2s/s2s: also write Griffin-Lim waveforms next to "
+                        "the mel dumps in --results-path (no vocoder "
+                        "checkpoint needed, ops/mel.mel_to_audio)")
     p.add_argument("--vocab-size", type=int, default=None)
     p.add_argument("--ensemble-last", type=int, default=0,
                    help="decode with the last N checkpoints as a true "
@@ -108,6 +112,10 @@ def main(argv=None):
                         "of the device count — the tail batch is padded)")
     args = p.parse_args(argv)
     args.max_tokens = 0  # build_dataset compat
+    if args.lm_path and not args.lexicon:
+        p.error("--lm-path requires --lexicon (the word n-gram LM scores "
+                "lexicon words; without a lexicon it would be silently "
+                "ignored — for neural-LM beam fusion use --lm-ckpt)")
 
     import jax
     import jax.numpy as jnp
@@ -390,6 +398,17 @@ def main(argv=None):
                 if args.results_path:
                     np.save(os.path.join(args.results_path, f"{i}.npy"),
                             hyp_mel)
+                    if args.griffin_lim:
+                        # checkpoint-free waveform next to the mel dump —
+                        # the reference needs an external vocoder binary to
+                        # hear its dumps (generate_speech.py:156-189)
+                        from ..data.audio import write_wav
+                        from ..ops.mel import mel_to_audio
+
+                        write_wav(
+                            os.path.join(args.results_path, f"{i}.wav"),
+                            mel_to_audio(hyp_mel, n_mels=cfg.n_mels),
+                        )
         result = {"metric": "mcd", "value": float(np.mean(mcds)), "n_utts": n}
         if focus_rates:
             result["focus_rate"] = float(np.mean(focus_rates))

@@ -161,11 +161,14 @@ class Service:
                         args.lexicon, list(dictionary.symbols),
                         arpa_path=args.lm_path, blank=cfg.blank_id,
                         sep=sep_id, lm_weight=args.lm_weight,
-                        word_score=args.word_score, beam=50,
+                        word_score=args.word_score,
+                        beam=args.ctc_beam_size,
                     )
                 self.asr = _CTCAdapter(RescoreDecoder(
                     model, self.variables, blank_id=cfg.blank_id,
                     eos_id=cfg.eos_id, pad_id=cfg.pad_id,
+                    nbest=args.rescore_nbest, beam=args.ctc_beam_size,
+                    topk=args.ctc_topk,
                     ctc_weight=args.ctc_weight, max_len=args.max_len,
                     lexicon=lexicon))
             else:
@@ -366,15 +369,29 @@ class Service:
         with self.lock:
             out = self.tts.text_to_speech(jnp.asarray(toks),
                                           jnp.asarray(spk))
-            if out.wav is None:
+            if out.wav is None and not self.args.griffin_lim:
                 raise RuntimeError(
                     "no vocoder loaded — start with --vocoder-ckpt "
-                    "(a converted HiFi-GAN checkpoint)")
-            wavs = np.asarray(out.wav)
-            wav_lens = np.asarray(out.wav_lengths)
+                    "(a converted HiFi-GAN checkpoint) or --griffin-lim")
+            if out.wav is not None:
+                wavs = np.asarray(out.wav)
+                wav_lens = np.asarray(out.wav_lengths)
+            else:
+                mels = np.asarray(out.mel)
+                mel_lens = np.asarray(out.lengths)
             self.tts_calls += 1
             self.tts_requests += n_real
-        return [wavs[b, : int(wav_lens[b])] for b in range(n_real)]
+        if out.wav is not None:
+            return [wavs[b, : int(wav_lens[b])] for b in range(n_real)]
+        # checkpoint-free Griffin-Lim inversion on the host (outside the
+        # device lock — numpy work must not serialize device programs)
+        from ..ops.mel import mel_to_audio
+
+        return [
+            mel_to_audio(mels[b, : int(mel_lens[b])],
+                         n_mels=self.cfg.n_mels)
+            for b in range(n_real)
+        ]
 
     def _tts_batcher_loop(self):
         """Coalesce concurrent /tts requests into one batched AR decode —
@@ -500,6 +517,10 @@ def main(argv=None):
     p.add_argument("--ckpt", required=True)
     p.add_argument("--dict", dest="dict_path", required=True)
     p.add_argument("--vocoder-ckpt", default=None)
+    p.add_argument("--griffin-lim", action="store_true",
+                   help="/tts without a vocoder checkpoint: invert the mel "
+                        "with Griffin-Lim on the host (ops/mel.mel_to_audio)"
+                        " — lower fidelity than HiFi-GAN but zero artifacts")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--decoder", default="beam",
@@ -516,6 +537,15 @@ def main(argv=None):
                         "(ARPA/.arpa.gz or prep lm-binary output)")
     p.add_argument("--lm-weight", type=float, default=0.0)
     p.add_argument("--word-score", type=float, default=0.0)
+    p.add_argument("--rescore-nbest", type=int, default=8,
+                   help="ctc_rescore: hypotheses per utterance kept for "
+                        "the attention rescoring pass")
+    p.add_argument("--ctc-topk", type=int, default=0,
+                   help="ctc_rescore: per-frame candidate pruning of the "
+                        "N-best prefix beam (0 = all)")
+    p.add_argument("--ctc-beam-size", type=int, default=50,
+                   help="ctc_rescore pass-1 beam width (open-vocabulary "
+                        "or lexicon-constrained)")
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--ctc-weight", type=float, default=0.3)
@@ -538,6 +568,10 @@ def main(argv=None):
                         "(0 disables)")
     p.add_argument("--dtype", default="bfloat16")
     args = p.parse_args(argv)
+    if args.lm_path and not args.lexicon:
+        p.error("--lm-path requires --lexicon (the word n-gram LM scores "
+                "lexicon words; without a lexicon it would be silently "
+                "ignored)")
 
     svc = Service(args)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(svc))

@@ -63,7 +63,7 @@ def build_dataset(args, dictionary, cfg):
         speech = M.SpeechPretrainDataset(
             manifest=args.manifest, km_labels=args.labels,
             n_mels=cfg.n_mels, reduction_factor=cfg.reduction_factor,
-            normalize=args.normalize,
+            normalize=args.normalize, device_mel=dev_mel,
         )
         text = M.TextPretrainDataset(
             text_file=args.text_file, dictionary=dictionary,
@@ -223,12 +223,20 @@ def main(argv=None):
                         "the encoder freeze (reference "
                         "--no-freeze-encoder-layer)")
     p.add_argument("--normalize", action="store_true")
-    p.add_argument("--device-mel", action="store_true",
+    p.add_argument("--device-mel", dest="device_mel", action="store_true",
+                   default=True,
                    help="t2s/s2s/pretrain_speech: compute log-mel targets "
-                        "IN-GRAPH from the raw waveform (fused Pallas "
-                        "kernel on TPU) instead of per-utterance host "
-                        "numpy — removes the host fbank from the input "
-                        "pipeline's critical path")
+                        "(and the SE source fbank) IN-GRAPH from the raw "
+                        "waveform (fused Pallas kernel on TPU) instead of "
+                        "per-utterance host numpy — removes the host fbank "
+                        "from the input pipeline's critical path (4.9x "
+                        "pipeline A/B, PERF.md section 10).  DEFAULT ON; "
+                        "--host-mel restores the reference-faithful host "
+                        "path")
+    p.add_argument("--host-mel", dest="device_mel", action="store_false",
+                   help="compute fbanks per utterance on the host (the "
+                        "reference's librosa-in-dataset pipeline, "
+                        "text_to_speech_dataset.py:97-138)")
     p.add_argument("--mask-prob", type=float, default=None,
                    help="override HuBERT masking prob (e.g. 0 to disable)")
     p.add_argument("--dtype", default="float32")

@@ -380,11 +380,6 @@ class SpeechToSpeechDataset:
     device_mel: bool = False  # see TextToSpeechDataset.device_mel
 
     def __post_init__(self):
-        if self.device_mel and self.se_mode:
-            raise ValueError(
-                "device_mel does not cover se_mode (the SE source fbank "
-                "stays a host-side decoder input)"
-            )
         self.src_names, self.sizes = [], []
         self.tgt_names, self.spkembs = [], []
         with open(self.manifest, encoding="utf-8") as f:
@@ -415,7 +410,7 @@ class SpeechToSpeechDataset:
             item["tgt_wav_raw"] = tgt_wav.astype(np.float32)
         else:
             item["mel"] = log_mel_numpy(tgt_wav, n_mels=self.n_mels)
-        if self.se_mode:
+        if self.se_mode and not self.device_mel:
             item["src_mel"] = log_mel_numpy(wav, n_mels=self.n_mels)
         return item
 
@@ -440,7 +435,25 @@ class SpeechToSpeechDataset:
         mel_batch = collate_mel_targets(
             items, r, self.n_mels, bucketed, self.device_mel)
         batch.update(mel_batch)
-        if self.se_mode:
+        if self.se_mode and self.device_mel:
+            # SE source fbank in-graph too: reflect-pad the source on the
+            # host (per-utterance parity, same trick as the target) sized to
+            # the TARGET's mel grid; the train step frames/thins it on
+            # device and zeroes rows past the source's own frame count
+            # (train/trainer.py device_mel_batch).
+            need = mel_batch["tgt_wav"].shape[1]
+            mel_len = (need - MEL_N_FFT) // MEL_HOP + 1
+            src_wav = np.zeros((B, need), np.float32)
+            src_frames = np.zeros((B,), np.int32)
+            for b, it in enumerate(items):
+                x = np.pad(it["wav"].astype(np.float32),
+                           (MEL_N_FFT // 2, MEL_N_FFT // 2), mode="reflect")
+                L = min(len(x), need)
+                src_wav[b, :L] = x[:L]
+                src_frames[b] = min(1 + len(it["wav"]) // MEL_HOP, mel_len)
+            batch["src_wav"] = src_wav
+            batch["src_frames"] = src_frames
+        elif self.se_mode:
             mel_len = mel_batch["target_mel"].shape[1]
             src_mel = np.zeros((B, mel_len // r, self.n_mels), np.float32)
             for b, it in enumerate(items):

@@ -13,19 +13,43 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
-_LIB_PATH = os.path.join(_CSRC, "libspeechdata.so")
+# source locations in preference order: the repo checkout's csrc/ (editable
+# install / development), then the wheel-packaged copy (setup.py ships the
+# sources + Makefile as speecht5_tpu/_csrc)
+_pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC_CANDIDATES = (
+    os.path.join(os.path.dirname(_pkg_root), "csrc"),
+    os.path.join(_pkg_root, "_csrc"),
+)
+
+
+def _csrc_dir() -> Optional[str]:
+    for d in _CSRC_CANDIDATES:
+        if os.path.isdir(d):
+            return d
+    return None
+
+
+def _lib_path() -> Optional[str]:
+    d = _csrc_dir()
+    return os.path.join(d, "libspeechdata.so") if d else None
+
+
 _lib = None
 
 
 def _stale() -> bool:
     """True when the .so is missing or older than any csrc source."""
-    if not os.path.exists(_LIB_PATH):
+    csrc = _csrc_dir()
+    lib_path = _lib_path()
+    if csrc is None:
+        return False
+    if not os.path.exists(lib_path):
         return True
-    so_mtime = os.path.getmtime(_LIB_PATH)
-    for name in os.listdir(_CSRC):
+    so_mtime = os.path.getmtime(lib_path)
+    for name in os.listdir(csrc):
         if name.endswith((".cpp", ".cc", ".h", ".hpp")):
-            if os.path.getmtime(os.path.join(_CSRC, name)) > so_mtime:
+            if os.path.getmtime(os.path.join(csrc, name)) > so_mtime:
                 return True
     return False
 
@@ -34,16 +58,20 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
+    lib_path = _lib_path()
+    if lib_path is None:
+        return None
     if _stale():
         try:
             subprocess.run(
-                ["make", "-C", _CSRC, "-B"], check=True, capture_output=True
+                ["make", "-C", _csrc_dir(), "-B"], check=True,
+                capture_output=True,
             )
         except Exception:
-            if not os.path.exists(_LIB_PATH):
+            if not os.path.exists(lib_path):
                 return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(lib_path)
     except OSError:
         return None
     lib.batch_by_size.restype = ctypes.c_int64

@@ -481,7 +481,15 @@ class RescoreDecoder:
             if not cands:
                 cands = [([], 0.0)]
             if self.max_len is not None:
-                cands = [(t[: self.max_len], s) for t, s in cands]
+                # Drop over-length hypotheses rather than truncating: a
+                # clipped candidate would mix the attention score of the
+                # truncated sequence with the CTC score of the full one,
+                # mis-ranking it against intact candidates.  Only when EVERY
+                # candidate exceeds the cap do we truncate the 1-best — it is
+                # then the sole (duplicated) candidate, so the score
+                # inconsistency cannot change the argmax.
+                kept = [(t, s) for t, s in cands if len(t) <= self.max_len]
+                cands = kept or [(cands[0][0][: self.max_len], cands[0][1])]
             while len(cands) < self.nbest:
                 cands.append(cands[0])  # duplicate rows tie; argmax -> first
             hyp_rows.append([c[0] for c in cands])

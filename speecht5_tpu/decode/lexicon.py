@@ -228,7 +228,15 @@ def lexicon_beam_nbest_py(lp, lexicon, blank, sep, lm=None, lm_weight=0.0,
         elif f.node != ():
             f.lm += -1e4
         finals.append(f)
-    finals.sort(key=lambda h: -h.total())
+    # Beam entries keyed by (tokens, LM context) can finalize to identical
+    # token sequences — dedupe by sequence (max score wins) so duplicates
+    # don't occupy N-best slots (mirrors csrc lexdec_decode_nbest).
+    best_of = {}
+    for f in finals:
+        got = best_of.get(f.tokens)
+        if got is None or f.total() > got.total():
+            best_of[f.tokens] = f
+    finals = sorted(best_of.values(), key=lambda h: -h.total())
     return [(list(f.tokens), f.total()) for f in finals[:nbest]]
 
 

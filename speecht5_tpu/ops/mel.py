@@ -145,6 +145,67 @@ def device_log_mel(wav, **kw):
     return log_mel_spectrogram(wav, **kw)
 
 
+def mel_to_audio(
+    log10_mel: np.ndarray,
+    *,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_mels: int = 80,
+    fmin: float = 80.0,
+    fmax: float = 7600.0,
+    n_iter: int = 48,
+    seed: int = 0,
+) -> np.ndarray:
+    """Invert a log10-mel spectrogram to a waveform (Griffin-Lim).
+
+    Checkpoint-free vocoder fallback: the reference's TTS eval dumps mels and
+    requires an EXTERNAL vocoder binary to hear anything (reference
+    SpeechT5/scripts/generate_speech.py:156-189, README.md:250); this closes
+    the chain without artifacts.  Host-side numpy — synthesis-rate bound by
+    the AR mel decode, not this inversion.
+
+    log10_mel: [T, n_mels] as produced by ``log_mel_numpy`` /
+    ``device_log_mel``.  Returns [T * hop] float32 in [-1, 1].
+    """
+    mel = np.power(10.0, np.asarray(log10_mel, np.float64))
+    fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax).astype(np.float64)
+    # least-squares linear-magnitude estimate, clipped to nonnegative
+    mag = np.maximum(0.0, np.linalg.pinv(fb) @ mel.T)      # [bins, T]
+
+    win = hann_window(n_fft).astype(np.float64)
+    n_frames = mag.shape[1]
+    length = n_frames * hop
+
+    def istft(spec):
+        frames = np.fft.irfft(spec.T, n=n_fft, axis=-1) * win
+        out = np.zeros((length + n_fft,), np.float64)
+        norm = np.zeros_like(out)
+        for t in range(n_frames):
+            out[t * hop : t * hop + n_fft] += frames[t]
+            norm[t * hop : t * hop + n_fft] += win * win
+        out = out / np.maximum(norm, 1e-8)
+        return out[n_fft // 2 : n_fft // 2 + length]       # undo center pad
+
+    def stft(wav):
+        x = np.pad(wav, (n_fft // 2, n_fft // 2), mode="reflect")
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(n_fft)[None, :])
+        return np.fft.rfft(x[idx] * win, axis=-1).T        # [bins, T]
+
+    rng = np.random.default_rng(seed)
+    angles = np.exp(2j * np.pi * rng.random(mag.shape))
+    for _ in range(n_iter):
+        wav = istft(mag * angles)
+        spec = stft(wav)
+        angles = spec / np.maximum(np.abs(spec), 1e-8)
+    wav = istft(mag * angles)
+    peak = np.max(np.abs(wav))
+    if peak > 1.0:
+        wav = wav / peak
+    return wav.astype(np.float32)
+
+
 def log_mel_numpy(wav: np.ndarray, **kw) -> np.ndarray:
     """Host-side reference path (numpy rfft) for the data pipeline / tests."""
     sr = kw.get("sr", 16000)

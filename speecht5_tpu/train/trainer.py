@@ -57,6 +57,17 @@ def device_mel_batch(batch, n_mels: int, r: int):
                < batch["dec_lengths_r"][:, None])
     batch["target_mel"] = mel
     batch["prev_mel"] = jnp.where(valid_r[:, :, None], prev, 0.0)
+    if "src_wav" in batch:
+        # SE decoder input: the r-thinned SOURCE fbank, also in-graph.  The
+        # collator reflect-padded the source onto the TARGET's mel grid
+        # (data/manifests.py se_mode device path); rows past the source's
+        # own thinned frame count are zeroed to match the host collator.
+        src = device_log_mel(batch.pop("src_wav"), n_mels=n_mels,
+                             center=False)
+        sthin = src[:, r - 1 :: r]
+        n_thin = batch.pop("src_frames") // r
+        valid_s = jnp.arange(sthin.shape[1])[None, :] < n_thin[:, None]
+        batch["src_mel"] = jnp.where(valid_s[:, :, None], sthin, 0.0)
     return batch
 
 

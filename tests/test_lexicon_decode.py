@@ -168,6 +168,8 @@ class TestNativeParity:
                 word_score=-0.3, beam=30, nbest=5,
             )
             got = dec.decode_nbest(lp, nbest=5)
+            seqs = [tuple(t) for t, _ in got]
+            assert len(seqs) == len(set(seqs)), "duplicate N-best sequences"
             assert len(got) == len(want), f"trial {trial}"
             for (gt, gs), (wt, ws) in zip(got, want):
                 assert gt == wt, f"trial {trial}"

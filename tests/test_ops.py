@@ -53,6 +53,26 @@ class TestMel:
         assert w[0] == 0.0
         np.testing.assert_allclose(w[4], 1.0, atol=1e-6)
 
+    def test_griffin_lim_spectral_round_trip(self):
+        """mel -> mel_to_audio -> mel must preserve the spectral envelope
+        (phase is reconstructed, so a loose log-domain tolerance): the
+        checkpoint-free vocoder behind serve --griffin-lim and the TTS
+        intelligibility gate (tests/test_real_speech.py)."""
+        from speecht5_tpu.ops.mel import mel_to_audio
+
+        t = np.arange(32000) / 16000.0
+        wav = (0.4 * np.sin(2 * np.pi
+                            * (150 + 40 * np.sin(2 * np.pi * 1.5 * t)) * t)
+               + 0.1 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+        mel = log_mel_numpy(wav, n_mels=80)
+        rec = mel_to_audio(mel, n_mels=80)
+        assert abs(len(rec) - len(wav)) <= 256
+        assert np.isfinite(rec).all() and np.abs(rec).max() <= 1.0
+        mel2 = log_mel_numpy(rec[: len(wav)], n_mels=80)
+        n = min(len(mel), len(mel2))
+        err = np.abs(mel[:n] - mel2[:n]).mean()
+        assert err < 0.5, f"log10-mel round-trip error {err}"
+
 
 class TestPositional:
     def test_fairseq_table_structure(self):

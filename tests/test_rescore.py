@@ -138,6 +138,37 @@ class TestNBestPrefixBeam:
         noskip = ctc_nbest(lp, blank=blank, beam=12, nbest=1)
         assert a[0][0] == noskip[0][0]
 
+    def test_trailing_blank_skip_frames_keep_descending_order(self):
+        """Regression (advisor r4): blank-skipped frames AFTER the last
+        per-frame sort update scores in place, so a blank-dominated tail
+        (trained-model trailing silence) could leave the native N-best
+        non-descending and diverging from the Python reference.  The native
+        decoder must re-sort before emitting."""
+        from speecht5_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(7)
+        thresh = float(np.log(0.9))
+        for trial in range(40):
+            T, V, blank = 24, 6, 0
+            lp = _rand_lp(rng, T, V)
+            tail = int(rng.integers(5, 13))
+            for t in range(T - tail, T):
+                row = np.full((V,), -9.0, np.float64)
+                row += rng.uniform(0.0, 0.01, V)
+                row[blank] = -0.01
+                lp[t] = (row - np.log(np.exp(row).sum())).astype(np.float32)
+            a = ctc_nbest(lp, blank=blank, beam=8, nbest=8,
+                          blank_thresh=thresh)
+            scores = [s for _, s in a]
+            assert scores == sorted(scores, reverse=True), f"trial {trial}"
+            b = ctc_nbest_py(lp, blank=blank, beam=8, nbest=8,
+                             blank_thresh=thresh)
+            assert [t for t, _ in a] == [t for t, _ in b], f"trial {trial}"
+            for (_, sa), (_, sb) in zip(a, b):
+                np.testing.assert_allclose(sa, sb, atol=1e-4)
+
     def test_peaked_posterior_recovers_sequence(self):
         """A near-one-hot emission path decodes to its collapsed labels."""
         V, blank = 5, 0
