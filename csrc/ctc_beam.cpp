@@ -37,6 +37,102 @@ inline double log_add(double a, double b) {
     return m + std::log1p(std::exp(std::min(a, b) - m));
 }
 
+// ------------------------------------------------- KenLM probing binary
+// Read/write support for KenLM's compiled binary format (version 5,
+// PROBING model): the artifact the reference decode recipes consume
+// directly (reference SpeechLM/README.md:105-121 ships 4-gram.bin;
+// speechlm/infer.py:29-33 hands it to flashlight's KenLM wrapper).
+//
+// Layout implemented from the published KenLM sources (lm/binary_format.cc,
+// lm/vocab.cc, lm/search_hashed.hh, util/probing_hash_table.hh,
+// util/murmur_hash.cc):
+//   Sanity(88)  magic[56] | 0.0f 1.0f -0.5f | u32 1, u32 MAX | pad | u64 1
+//   FixedWidthParameters(20)  u8 order | f32 probing_multiplier |
+//       u32 model_type (0=PROBING) | u8 has_vocabulary | u32 search_version
+//   u64 counts[order], zero-padded to 8
+//   ProbingVocabulary  header(8: u32 bound, u8 saw_unk) +
+//       hash table {u64 MurmurHash64A(word) -> u32 id} (16-byte entries)
+//   HashedSearch  unigram ProbBackoff[bound] (id-indexed, no hashing);
+//       per middle order a probing table {u64 chained-id hash -> f32 prob,
+//       f32 backoff}; longest order {u64 -> f32 prob}
+//   trailing null-terminated vocab strings in id order (id 0 = <unk>)
+// N-gram keys chain as node = u64(w1); node = CombineWordHash(node, w_i).
+// Values stay log10 in the file (KenLM convention) and convert to natural
+// log on load.  Files written here round-trip through this reader and give
+// score parity with the ARPA path (tests/test_lexicon_decode.py); the
+// layout constants above are the contract for kenlm-built artifacts.
+
+inline uint64_t murmur64a(const void* key, size_t len, uint64_t seed) {
+    const uint64_t m = 0xc6a4a7935bd1e995ULL;
+    const int r = 47;
+    uint64_t h = seed ^ (len * m);
+    const unsigned char* data = static_cast<const unsigned char*>(key);
+    size_t n8 = len / 8;
+    for (size_t i = 0; i < n8; i++) {
+        uint64_t k;
+        std::memcpy(&k, data + i * 8, 8);
+        k *= m; k ^= k >> r; k *= m;
+        h ^= k; h *= m;
+    }
+    const unsigned char* tail = data + n8 * 8;
+    switch (len & 7) {
+        case 7: h ^= uint64_t(tail[6]) << 48; [[fallthrough]];
+        case 6: h ^= uint64_t(tail[5]) << 40; [[fallthrough]];
+        case 5: h ^= uint64_t(tail[4]) << 32; [[fallthrough]];
+        case 4: h ^= uint64_t(tail[3]) << 24; [[fallthrough]];
+        case 3: h ^= uint64_t(tail[2]) << 16; [[fallthrough]];
+        case 2: h ^= uint64_t(tail[1]) << 8;  [[fallthrough]];
+        case 1: h ^= uint64_t(tail[0]); h *= m;
+    }
+    h ^= h >> r; h *= m; h ^= h >> r;
+    return h;
+}
+
+inline uint64_t kenlm_combine(uint64_t current, uint32_t next) {
+    return (current * 8978948897894561157ULL) ^
+           (uint64_t(1 + next) * 17894857484156487943ULL);
+}
+
+inline uint64_t kenlm_chain(const int32_t* ids, size_t n) {
+    uint64_t h = uint64_t(uint32_t(ids[0]));
+    for (size_t i = 1; i < n; i++) h = kenlm_combine(h, uint32_t(ids[i]));
+    return h;
+}
+
+constexpr char KENLM_MAGIC[] =
+    "mmap lm http://kheafield.com/code format version 5\n";
+constexpr size_t KENLM_MAGIC_FIELD = 56;   // zero-padded magic field
+constexpr size_t KENLM_SANITY = 88;
+constexpr double KENLM_DEFAULT_MULT = 1.5;
+
+inline uint64_t kenlm_buckets(uint64_t entries, double mult) {
+    uint64_t b = uint64_t(entries * mult);
+    return std::max<uint64_t>(b, entries + 1);
+}
+
+// 16-byte probing entries: {u64 key, payload}.  key 0 = empty slot.
+struct KVocabEntry { uint64_t key; uint32_t id; uint32_t pad; };
+struct KProbEntry  { uint64_t key; float prob; float backoff; };
+
+template <class E>
+bool probe_find(const std::vector<E>& table, uint64_t key, E& out) {
+    if (table.empty() || key == 0) return false;
+    size_t b = table.size();
+    for (size_t i = key % b, n = 0; n < b; i = (i + 1) % b, n++) {
+        if (table[i].key == key) { out = table[i]; return true; }
+        if (table[i].key == 0) return false;
+    }
+    return false;
+}
+
+template <class E>
+void probe_insert(std::vector<E>& table, const E& e) {
+    size_t b = table.size();
+    for (size_t i = e.key % b;; i = (i + 1) % b) {
+        if (table[i].key == 0) { table[i] = e; return; }
+    }
+}
+
 // ---------------------------------------------------------------- ARPA LM
 // Backoff n-gram LM over word ids.  Probabilities and backoffs are log10 in
 // the file; stored as natural log here (KenLM reports log10 — callers of this
@@ -46,6 +142,46 @@ struct NGramLM {
     std::unordered_map<std::string, std::pair<float, float>> grams;  // (logp, backoff)
     std::unordered_map<std::string, int32_t> vocab;
     int order = 0;
+
+    // KenLM probing representation (hash tables over kenlm word ids),
+    // populated by load_kenlm instead of `grams`.  Queries dispatch through
+    // lookup() so score() is representation-agnostic.
+    bool kenlm_mode = false;
+    std::vector<std::pair<float, float>> k_unigram;   // natural log, by id
+    std::vector<std::vector<KProbEntry>> k_middle;    // orders 2..order-1
+    std::vector<KProbEntry> k_longest;                // order N
+
+    // (prob, backoff) of an exact n-gram, natural log; false when absent
+    bool lookup(const int32_t* ids, size_t n, double* p, double* b) const {
+        if (!kenlm_mode) {
+            auto it = grams.find(std::string(
+                reinterpret_cast<const char*>(ids), n * sizeof(int32_t)));
+            if (it == grams.end()) return false;
+            *p = it->second.first;
+            *b = it->second.second;
+            return true;
+        }
+        if (n == 1) {
+            if (ids[0] < 0 || size_t(ids[0]) >= k_unigram.size())
+                return false;
+            *p = k_unigram[ids[0]].first;
+            *b = k_unigram[ids[0]].second;
+            return true;
+        }
+        uint64_t h = kenlm_chain(ids, n);
+        KProbEntry e;
+        if (int(n) == order) {
+            if (!probe_find(k_longest, h, e)) return false;
+            *p = e.prob;
+            *b = 0.0;
+            return true;
+        }
+        if (n < 2 || n - 2 >= k_middle.size()) return false;
+        if (!probe_find(k_middle[n - 2], h, e)) return false;
+        *p = e.prob;
+        *b = e.backoff;
+        return true;
+    }
 
     static std::string key(const std::vector<int32_t>& ids) {
         return std::string(reinterpret_cast<const char*>(ids.data()),
@@ -127,6 +263,228 @@ struct NGramLM {
         return (bool)f;
     }
 
+    // ---- KenLM probing binary (layout documented above murmur64a)
+    bool load_kenlm(std::ifstream& f) {
+        const double ln10 = std::log(10.0);
+        char sanity[KENLM_SANITY];
+        f.seekg(0);
+        f.read(sanity, KENLM_SANITY);
+        if (!f) return false;
+        float ref_f[3];
+        std::memcpy(ref_f, sanity + KENLM_MAGIC_FIELD, 12);
+        if (ref_f[0] != 0.0f || ref_f[1] != 1.0f || ref_f[2] != -0.5f)
+            return false;   // endianness / float-layout mismatch
+        uint8_t ord8;
+        float mult;
+        uint32_t model_type;
+        uint8_t has_vocab;
+        char fwp[20];
+        f.read(fwp, 20);
+        if (!f) return false;
+        std::memcpy(&ord8, fwp + 0, 1);
+        std::memcpy(&mult, fwp + 4, 4);
+        std::memcpy(&model_type, fwp + 8, 4);
+        std::memcpy(&has_vocab, fwp + 12, 1);
+        if (model_type != 0) {
+            std::fprintf(stderr,
+                         "kenlm binary: model_type %u unsupported (only "
+                         "PROBING=0); rebuild with prep lm-binary\n",
+                         model_type);
+            return false;
+        }
+        if (!has_vocab) {
+            std::fprintf(stderr,
+                         "kenlm binary has no stored vocabulary strings; "
+                         "cannot map lexicon words\n");
+            return false;
+        }
+        order = ord8;
+        if (order <= 0) return false;
+        std::vector<uint64_t> counts(order);
+        f.read(reinterpret_cast<char*>(counts.data()), 8 * order);
+        size_t pos = KENLM_SANITY + 20 + 8 * order;
+        size_t pad = (8 - pos % 8) % 8;
+        f.seekg(pad, std::ios::cur);
+        // vocabulary: header + probing table (we only need bound; ids are
+        // recovered from the trailing strings section)
+        uint32_t bound;
+        char vhead[8];
+        f.read(vhead, 8);
+        if (!f) return false;
+        std::memcpy(&bound, vhead, 4);
+        uint64_t vbuckets = kenlm_buckets(bound, mult);
+        f.seekg(vbuckets * sizeof(KVocabEntry), std::ios::cur);
+        // unigrams: id-indexed ProbBackoff array
+        k_unigram.assign(bound, {float(-100.0 * ln10), 0.0f});
+        std::vector<float> uni(2 * bound);
+        f.read(reinterpret_cast<char*>(uni.data()), 8 * bound);
+        if (!f) return false;
+        for (uint32_t i = 0; i < bound; i++) {
+            k_unigram[i] = {float(uni[2 * i] * ln10),
+                            float(uni[2 * i + 1] * ln10)};
+        }
+        // middle + longest probing tables
+        k_middle.clear();
+        for (int n = 2; n < order; n++) {
+            uint64_t b = kenlm_buckets(counts[n - 1], mult);
+            std::vector<KProbEntry> t(b);
+            f.read(reinterpret_cast<char*>(t.data()), b * sizeof(KProbEntry));
+            if (!f) return false;
+            for (auto& e : t) {
+                if (e.key) {
+                    e.prob = float(e.prob * ln10);
+                    e.backoff = float(e.backoff * ln10);
+                }
+            }
+            k_middle.push_back(std::move(t));
+        }
+        k_longest.clear();
+        if (order >= 2) {
+            uint64_t b = kenlm_buckets(counts[order - 1], mult);
+            k_longest.resize(b);
+            f.read(reinterpret_cast<char*>(k_longest.data()),
+                   b * sizeof(KProbEntry));
+            if (!f) return false;
+            for (auto& e : k_longest)
+                if (e.key) e.prob = float(e.prob * ln10);
+        }
+        // trailing vocab strings, null-terminated, in id order
+        vocab.clear();
+        std::string blob((std::istreambuf_iterator<char>(f)),
+                         std::istreambuf_iterator<char>());
+        size_t off = 0;
+        for (uint32_t id = 0; id < bound && off < blob.size(); id++) {
+            size_t end = blob.find('\0', off);
+            if (end == std::string::npos) break;
+            vocab.emplace(blob.substr(off, end - off), int32_t(id));
+            off = end + 1;
+        }
+        kenlm_mode = true;
+        return vocab.size() == bound;
+    }
+
+    // write the probing binary from the parsed ARPA (`grams` + `vocab`).
+    // KenLM convention: word id 0 is <unk>; other words keep ARPA 1-gram
+    // order.  Role of kenlm's build_binary for our own artifacts AND the
+    // fixture generator for the reader's parity tests.
+    bool save_kenlm(const char* path) const {
+        if (kenlm_mode) return false;   // already compiled
+        const double ln10 = std::log(10.0);
+        // our id -> kenlm id (unk pinned to 0)
+        std::vector<const std::string*> by_id(vocab.size());
+        for (auto& kv : vocab) by_id[kv.second] = &kv.first;
+        std::vector<uint32_t> remap(vocab.size());
+        std::vector<const std::string*> words;   // kenlm id order
+        words.push_back(nullptr);                 // slot 0 = <unk>
+        bool have_unk = false;
+        for (size_t i = 0; i < by_id.size(); i++) {
+            if (*by_id[i] == "<unk>") {
+                remap[i] = 0;
+                words[0] = by_id[i];
+                have_unk = true;
+            } else {
+                remap[i] = uint32_t(words.size());
+                words.push_back(by_id[i]);
+            }
+        }
+        static const std::string UNK = "<unk>";
+        if (!words[0]) words[0] = &UNK;
+        uint32_t bound = uint32_t(words.size());
+
+        std::vector<uint64_t> counts(order, 0);
+        for (auto& kv : grams)
+            counts[kv.first.size() / sizeof(int32_t) - 1]++;
+        counts[0] = bound;   // every id gets a unigram slot (unk included)
+
+        std::ofstream f(path, std::ios::binary);
+        if (!f) return false;
+        char sanity[KENLM_SANITY] = {0};
+        std::memcpy(sanity, KENLM_MAGIC, sizeof(KENLM_MAGIC));
+        float ref_f[3] = {0.0f, 1.0f, -0.5f};
+        std::memcpy(sanity + KENLM_MAGIC_FIELD, ref_f, 12);
+        uint32_t ref_w[2] = {1u, 0xFFFFFFFFu};
+        std::memcpy(sanity + KENLM_MAGIC_FIELD + 12, ref_w, 8);
+        uint64_t one64 = 1;
+        std::memcpy(sanity + 80, &one64, 8);
+        f.write(sanity, KENLM_SANITY);
+        char fwp[20] = {0};
+        uint8_t ord8 = uint8_t(order);
+        float mult = float(KENLM_DEFAULT_MULT);
+        uint32_t model_type = 0, search_version = 0;
+        uint8_t has_vocab = 1;
+        std::memcpy(fwp + 0, &ord8, 1);
+        std::memcpy(fwp + 4, &mult, 4);
+        std::memcpy(fwp + 8, &model_type, 4);
+        std::memcpy(fwp + 12, &has_vocab, 1);
+        std::memcpy(fwp + 16, &search_version, 4);
+        f.write(fwp, 20);
+        f.write(reinterpret_cast<const char*>(counts.data()), 8 * order);
+        size_t pos = KENLM_SANITY + 20 + 8 * order;
+        char zeros[8] = {0};
+        f.write(zeros, (8 - pos % 8) % 8);
+
+        char vhead[8] = {0};
+        std::memcpy(vhead, &bound, 4);
+        vhead[4] = 1;   // saw_unk
+        f.write(vhead, 8);
+        std::vector<KVocabEntry> vtab(kenlm_buckets(bound, mult),
+                                      KVocabEntry{0, 0, 0});
+        for (uint32_t id = 0; id < bound; id++) {
+            uint64_t h = murmur64a(words[id]->data(), words[id]->size(), 0);
+            probe_insert(vtab, KVocabEntry{h, id, 0});
+        }
+        f.write(reinterpret_cast<const char*>(vtab.data()),
+                vtab.size() * sizeof(KVocabEntry));
+
+        std::vector<float> uni(2 * bound);
+        for (uint32_t i = 0; i < bound; i++) {
+            uni[2 * i] = -100.0f;        // log10 floor for id without 1-gram
+            uni[2 * i + 1] = 0.0f;
+        }
+        std::vector<std::vector<KProbEntry>> mids;
+        for (int n = 2; n < order; n++)
+            mids.emplace_back(kenlm_buckets(counts[n - 1], mult),
+                              KProbEntry{0, 0.0f, 0.0f});
+        std::vector<KProbEntry> longest;
+        if (order >= 2)
+            longest.assign(kenlm_buckets(counts[order - 1], mult),
+                           KProbEntry{0, 0.0f, 0.0f});
+        std::vector<int32_t> kids;
+        for (auto& kv : grams) {
+            size_t n = kv.first.size() / sizeof(int32_t);
+            const int32_t* ids =
+                reinterpret_cast<const int32_t*>(kv.first.data());
+            kids.resize(n);
+            for (size_t i = 0; i < n; i++) kids[i] = int32_t(remap[ids[i]]);
+            float p10 = float(kv.second.first / ln10);
+            float b10 = float(kv.second.second / ln10);
+            if (n == 1) {
+                uni[2 * kids[0]] = p10;
+                uni[2 * kids[0] + 1] = b10;
+            } else if (int(n) == order) {
+                probe_insert(longest,
+                             KProbEntry{kenlm_chain(kids.data(), n), p10, 0});
+            } else {
+                probe_insert(mids[n - 2],
+                             KProbEntry{kenlm_chain(kids.data(), n), p10,
+                                        b10});
+            }
+        }
+        f.write(reinterpret_cast<const char*>(uni.data()), 8 * bound);
+        for (auto& t : mids)
+            f.write(reinterpret_cast<const char*>(t.data()),
+                    t.size() * sizeof(KProbEntry));
+        if (order >= 2)
+            f.write(reinterpret_cast<const char*>(longest.data()),
+                    longest.size() * sizeof(KProbEntry));
+        for (uint32_t id = 0; id < bound; id++) {
+            f.write(words[id]->data(), words[id]->size());
+            f.write(zeros, 1);
+        }
+        (void)have_unk;
+        return bool(f);
+    }
+
     bool load(const char* path) {
         {
             std::ifstream fb(path, std::ios::binary);
@@ -135,6 +493,12 @@ struct NGramLM {
             fb.read(magic, 8);
             if (fb && std::memcmp(magic, BIN_MAGIC, 8) == 0)
                 return load_binary(fb);
+            char kmagic[sizeof(KENLM_MAGIC)] = {0};
+            fb.seekg(0);
+            fb.read(kmagic, sizeof(KENLM_MAGIC) - 1);
+            if (fb && std::memcmp(kmagic, KENLM_MAGIC,
+                                  sizeof(KENLM_MAGIC) - 1) == 0)
+                return load_kenlm(fb);
         }
         std::ifstream f(path);
         if (!f) return false;
@@ -186,22 +550,19 @@ struct NGramLM {
         full.push_back(wid);
         // longest-match backoff: P(w|ctx) = P(w|ctx') + sum(backoffs dropped)
         double bo_sum = 0.0;
+        double p, b;
         for (size_t start = 0; start < full.size(); start++) {
-            std::vector<int32_t> sub(full.begin() + start, full.end());
-            auto it = grams.find(key(sub));
-            if (it != grams.end()) {
+            size_t n = full.size() - start;
+            if (lookup(full.data() + start, n, &p, &b)) {
                 // new context = last (order-1) words of full
                 ctx = full;
                 if ((int)ctx.size() >= order)
                     ctx.erase(ctx.begin(), ctx.end() - (order - 1));
-                return it->second.first + bo_sum;
+                return p + bo_sum;
             }
             // add backoff of the dropped context prefix ctx[start..]
-            std::vector<int32_t> boctx(full.begin() + start, full.end() - 1);
-            if (!boctx.empty()) {
-                auto b = grams.find(key(boctx));
-                if (b != grams.end()) bo_sum += b->second.second;
-            }
+            if (n >= 2 && lookup(full.data() + start, n - 1, &p, &b))
+                bo_sum += b;
         }
         ctx = full;
         if ((int)ctx.size() >= order)
@@ -443,6 +804,16 @@ int32_t lexlm_build_binary(const char* arpa_path, const char* bin_path) {
     NGramLM lm;
     if (!lm.load(arpa_path)) return 1;
     return lm.save_binary(bin_path) ? 0 : 2;
+}
+
+// Compile a text ARPA LM into KenLM's probing binary layout (format
+// version 5, PROBING) — readable by this library AND by KenLM-based
+// stacks.  Returns 0 on success.
+int32_t lexlm_build_kenlm_binary(const char* arpa_path,
+                                 const char* bin_path) {
+    NGramLM lm;
+    if (!lm.load(arpa_path)) return 1;
+    return lm.save_kenlm(bin_path) ? 0 : 2;
 }
 
 // Decode one utterance.  lp: [T, V] natural-log posteriors.  Returns number

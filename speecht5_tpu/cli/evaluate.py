@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--results-path", default=None)
+    p.add_argument("--max-frames", type=int, default=1600,
+                   help="t2s/s2s: static AR output buffer in mel frames "
+                        "(the per-utterance stop is still max_len_ratio)")
     p.add_argument("--griffin-lim", action="store_true",
                    help="t2s/s2s: also write Griffin-Lim waveforms next to "
                         "the mel dumps in --results-path (no vocoder "
@@ -367,7 +370,7 @@ def main(argv=None):
     else:  # t2s / s2s
         from ..decode.tts import TTSDecoder
 
-        tts = TTSDecoder(model, variables)
+        tts = TTSDecoder(model, variables, max_frames=args.max_frames)
         mcds, focus_rates = [], []
         for s in range(0, n, args.batch_size):
             idxs = order[s : s + args.batch_size]

@@ -153,6 +153,27 @@ def run_row(row, args):
     rec = {"row": row["name"], "status": "ok", "metric": metric,
            "ours": result["value"], "published": published,
            "source": row["source"]}
+
+    # operating-point sweep (ASR rows): the fast decode arms next to the
+    # joint beam, so checkpoint day turns the throughput table (PERF.md
+    # sections 11/11b: beam 136x / rescore 445x / greedy 2459x realtime)
+    # into a quality-speed frontier in one command
+    if args.arms and row["task"] == "s2t" and metric == "wer":
+        base, skip = [], False   # arms run without the fusion LM
+        for a in argv:
+            if skip:
+                skip = False
+            elif a in ("--lm-ckpt", "--lm-weight", "--lm-arch"):
+                skip = True
+            else:
+                base.append(a)
+        rec["arms"] = {}
+        for arm in ("ctc_greedy", "ctc_rescore"):
+            arm_res = eval_main(base + ["--decoder", arm])
+            rec["arms"][arm] = {
+                "wer": arm_res["value"],
+                "delta_vs_beam": round(arm_res["value"] - result["value"], 5),
+            }
     if row.get("report_only") or published is None:
         rec["status"] = "report_only"
     else:
@@ -200,7 +221,7 @@ def _make_dry_fixtures(args):
 
     _, cfg_kw = load_cli_dictionary(
         os.path.join(args.data_dir, "dict.ltr.txt"), None)
-    cfg = C.speecht5_tiny(**cfg_kw)
+    cfg = getattr(C, args.dry_run_arch)(**cfg_kw)
     _, variables = init_model(cfg, jax.random.PRNGKey(0))
     out_dir = os.path.join(args.work_dir, "speecht5_base_asr")
     mgr = CheckpointManager(out_dir)
@@ -224,8 +245,18 @@ def main(argv=None):
     p.add_argument("--results", default=None, help="write JSON records here")
     p.add_argument("--dry-run", action="store_true",
                    help="generate random-init fixtures + synthetic manifests "
-                        "in --ckpt-dir/--data-dir and run the ASR row with "
-                        "the tiny arch: validates the plumbing end to end")
+                        "in --ckpt-dir/--data-dir and run the ASR row: "
+                        "validates the plumbing end to end")
+    p.add_argument("--dry-run-arch", default="speecht5_tiny",
+                   help="arch preset for --dry-run fixtures; pass "
+                        "'speecht5_base_asr' to exercise the whole "
+                        "convert->evaluate->diff chain at the released "
+                        "geometry (slower: full-size random init + compile)")
+    p.add_argument("--arms", dest="arms", action="store_true", default=True,
+                   help="ASR rows also run ctc_greedy/ctc_rescore and "
+                        "report the WER delta vs the joint beam (the "
+                        "quality-speed frontier in one command)")
+    p.add_argument("--no-arms", dest="arms", action="store_false")
     args = p.parse_args(argv)
     args.work_dir = args.work_dir or os.path.join(args.ckpt_dir, "converted")
     os.makedirs(args.work_dir, exist_ok=True)
@@ -234,7 +265,7 @@ def main(argv=None):
     if args.dry_run:
         _make_dry_fixtures(args)
         matrix = [dict(MATRIX[0])]
-        matrix[0]["arch"] = "speecht5_tiny"
+        matrix[0]["arch"] = args.dry_run_arch
         matrix[0]["extra"] = ["--beam", "2", "--ctc-weight", "0.3",
                               "--max-len", "8"]
         matrix[0]["published"] = ("wer", None)

@@ -105,6 +105,11 @@ def main(argv=None):
              "recipes, SpeechLM/README.md:105-121)")
     lb.add_argument("--arpa", required=True)
     lb.add_argument("--out", required=True)
+    lb.add_argument("--format", default="native",
+                    choices=("native", "kenlm"),
+                    help="'native' = this library's flat format; 'kenlm' = "
+                         "KenLM probing binary (format version 5), readable "
+                         "by KenLM-based stacks too")
 
     t = sub.add_parser("t2u-manifest")
     t.add_argument("--audio-manifest", default=None,
@@ -215,7 +220,7 @@ def main(argv=None):
     elif args.cmd == "lm-binary":
         from ..decode.lexicon import build_binary_lm
 
-        build_binary_lm(args.arpa, args.out)
+        build_binary_lm(args.arpa, args.out, format=args.format)
         print(f"compiled {args.arpa} -> {args.out}")
 
     elif args.cmd == "t2u-manifest":

@@ -240,23 +240,30 @@ def lexicon_beam_nbest_py(lp, lexicon, blank, sep, lm=None, lm_weight=0.0,
     return [(list(f.tokens), f.total()) for f in finals[:nbest]]
 
 
-def build_binary_lm(arpa_path: str, bin_path: str) -> None:
-    """Compile a text ARPA LM into the decoder's fast binary format — the
-    role KenLM's build_binary plays for the reference's compiled-LM decode
-    (reference SpeechLM/speechlm/infer.py:29-33, SpeechLM/README.md:105-121).
-    ``LexiconDecoder`` auto-detects the format by magic, so the output path
-    drops in wherever an ARPA path is accepted."""
+def build_binary_lm(arpa_path: str, bin_path: str,
+                    format: str = "native") -> None:
+    """Compile a text ARPA LM into a fast binary format — the role KenLM's
+    build_binary plays for the reference's compiled-LM decode (reference
+    SpeechLM/speechlm/infer.py:29-33, SpeechLM/README.md:105-121).
+
+    format="native" writes this library's flat format; format="kenlm"
+    writes KenLM's probing binary layout (format version 5, PROBING model —
+    csrc/ctc_beam.cpp kenlm section documents the byte layout).  Either
+    output — and an existing KenLM ``.bin`` artifact — drops in wherever an
+    ARPA path is accepted: ``LexiconDecoder`` detects the format by magic.
+    """
     lib = _load_lib()
     if lib is None:
         raise RuntimeError("native library unavailable (no toolchain?)")
     arpa_path = materialize_arpa(arpa_path)   # accept .arpa.gz here too
-    lib.lexlm_build_binary.restype = ctypes.c_int32
-    lib.lexlm_build_binary.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
-    rc = lib.lexlm_build_binary(arpa_path.encode(), bin_path.encode())
+    fn = {"native": "lexlm_build_binary",
+          "kenlm": "lexlm_build_kenlm_binary"}[format]
+    func = getattr(lib, fn)
+    func.restype = ctypes.c_int32
+    func.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    rc = func(arpa_path.encode(), bin_path.encode())
     if rc != 0:
-        raise RuntimeError(
-            f"lexlm_build_binary({arpa_path}) failed with code {rc}"
-        )
+        raise RuntimeError(f"{fn}({arpa_path}) failed with code {rc}")
 
 
 class LexiconDecoder:

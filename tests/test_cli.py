@@ -684,6 +684,69 @@ def test_serve_tts_http(corpus, tmp_path):
             proc.kill()
 
 
+def test_serve_tts_griffin_lim(corpus, tmp_path):
+    """cli.serve /tts --griffin-lim: WAV over HTTP with NO vocoder
+    checkpoint (host-side mel inversion, ops/mel.mel_to_audio)."""
+    import http.client
+    import io
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+    import wave
+
+    from speecht5_tpu.cli.train import main as train_main
+
+    save = tmp_path / "ckpt_tts_gl"
+    train_main([
+        "--manifest", str(corpus / "train.tsv"),
+        "--labels", str(corpus / "train.ltr"),
+        "--dict", str(corpus / "dict.ltr.txt"),
+        "--arch", "speecht5_tiny",
+        "--task", "t2s", "--save-dir", str(save),
+        "--max-updates", "4", "--batch-size", "8",
+        "--mask-prob", "0", "--save-interval", "4", "--log-interval", "100",
+    ])
+    from conftest import cpu_subprocess_env
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-u", "-m", "speecht5_tpu.cli.serve",
+         "--task", "t2s", "--arch", "speecht5_tiny",
+         "--ckpt", str(save), "--dict", str(corpus / "dict.ltr.txt"),
+         "--griffin-lim",
+         "--port", "0", "--max-frames", "64", "--tts-bucket-tokens", "16",
+         "--dtype", "float32"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=cpu_subprocess_env(),
+    )
+    try:
+        port = None
+        t0 = _time.time()
+        while _time.time() - t0 < 600:
+            line = proc.stdout.readline()
+            assert line, "server exited early"
+            if '"serving": true' in line:
+                port = json.loads(line)["port"]
+                break
+        assert port, "no serving line"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        body = json.dumps({"text": "HELLO"}).encode()
+        conn.request("POST", "/tts", body=body,
+                     headers={"Content-Length": str(len(body))})
+        r = conn.getresponse()
+        assert r.status == 200, r.read()[:500]
+        assert r.getheader("Content-Type") == "audio/wav"
+        with wave.open(io.BytesIO(r.read())) as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() > 0
+    finally:
+        proc.send_signal(_signal.SIGTERM)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def test_serve_transcript_seam_join():
     """Chunked decode joins on word seams: text re-decoded inside the
     overlap window appears once, non-matching seams are left intact."""

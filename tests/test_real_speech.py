@@ -302,6 +302,7 @@ def test_tts_round_trip_real_speech(corpus, asr_ckpt):
         "--labels", str(corpus / "tts.ltr"),
         "--dict", str(corpus / "dict.ltr.txt"),
         "--arch", "speecht5_tiny", "--override", "n_mels=80",
+        "--override", "max_speech_positions=1100",
     ]
     save = corpus / "ckpt_tts"
     done = _run_cli("train", tts_common + [
@@ -317,6 +318,7 @@ def test_tts_round_trip_real_speech(corpus, asr_ckpt):
     result = _run_cli("evaluate", tts_common + [
         "--task", "t2s", "--ckpt", str(save),
         "--spkemb-dir", str(spkdir), "--batch-size", "1",
+        "--max-frames", "1024",
         "--results-path", str(corpus / "tts_out"), "--griffin-lim",
     ], timeout=3600)
     assert np.isfinite(result["value"])
