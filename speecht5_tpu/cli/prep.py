@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -97,6 +98,16 @@ def main(argv=None):
                     help="word transcripts (.wrd) or word list, one per line")
     lx.add_argument("--output", "-o", required=True,
                     help="writes 'WORD<TAB>W O R D' lines, sorted, unique")
+
+    rs = sub.add_parser(
+        "resample",
+        help="convert audio to a target sample rate (the role sox/"
+             "torchaudio play in the reference prep; recipes demand 16 kHz)")
+    rs.add_argument("--input", "-i", required=True,
+                    help="audio file or directory (wav/flac)")
+    rs.add_argument("--output", "-o", required=True,
+                    help="output file or directory (.wav)")
+    rs.add_argument("--sr", type=int, default=16000)
 
     lb = sub.add_parser(
         "lm-binary",
@@ -216,6 +227,31 @@ def main(argv=None):
             for w in sorted(words):
                 fout.write(w + "\t" + " ".join(w) + "\n")
         print(f"wrote {len(words)} lexicon entries")
+
+    elif args.cmd == "resample":
+        from ..data.audio import read_audio, write_wav
+
+        def _convert(src, dst):
+            wav, _ = read_audio(src, target_sr=args.sr)
+            os.makedirs(os.path.dirname(os.path.abspath(dst)), exist_ok=True)
+            write_wav(dst, wav, sr=args.sr)
+
+        if os.path.isdir(args.input):
+            n = 0
+            for dirpath, _dirs, files in os.walk(args.input):
+                for name in sorted(files):
+                    if not name.lower().endswith((".wav", ".flac")):
+                        continue
+                    rel = os.path.relpath(os.path.join(dirpath, name),
+                                          args.input)
+                    dst = os.path.join(
+                        args.output, os.path.splitext(rel)[0] + ".wav")
+                    _convert(os.path.join(dirpath, name), dst)
+                    n += 1
+            print(f"resampled {n} files to {args.sr} Hz")
+        else:
+            _convert(args.input, args.output)
+            print(f"resampled 1 file to {args.sr} Hz")
 
     elif args.cmd == "lm-binary":
         from ..decode.lexicon import build_binary_lm

@@ -229,3 +229,61 @@ class TestSTManifest:
         n_rows = sum(1 for _ in open(COVOST_TSV)) - 1
         assert len(l.read_text().splitlines()) == n_rows
         assert m.read_text().splitlines()[0] == "/data/wav"
+
+
+class TestResample:
+    """Windowed-sinc rational resampler (data/audio.resample) — the role
+    sox/torchaudio play in the reference prep (16 kHz recipe inputs)."""
+
+    def test_tone_preserved_and_alias_suppressed(self):
+        import numpy as np
+        from speecht5_tpu.data.audio import resample
+
+        sr1, sr2 = 44100, 16000
+        t = np.arange(sr1) / sr1
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        out = resample(tone, sr1, sr2)
+        assert abs(len(out) - sr2) <= 1
+        sp = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        peak = np.fft.rfftfreq(len(out), 1 / sr2)[sp.argmax()]
+        assert abs(peak - 440.0) < 2.0
+        assert abs(out[2000:-2000].max() - 0.5) < 0.01
+        # 9 kHz is above the 8 kHz Nyquist of the target: must be rejected,
+        # not folded down
+        alias = 0.5 * np.sin(2 * np.pi * 9000 * t).astype(np.float32)
+        out_a = resample(alias, sr1, sr2)
+        rms = float(np.sqrt((out_a[2000:-2000] ** 2).mean()))
+        assert rms < 0.01, f"aliasing energy {rms}"
+
+    def test_upsample_and_identity(self):
+        import numpy as np
+        from speecht5_tpu.data.audio import resample
+
+        t = np.arange(16000) / 16000.0
+        tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        up = resample(tone, 16000, 24000)
+        sp = np.abs(np.fft.rfft(up * np.hanning(len(up))))
+        assert abs(np.fft.rfftfreq(len(up), 1 / 24000)[sp.argmax()] - 440) < 2
+        same = resample(tone, 16000, 16000)
+        np.testing.assert_array_equal(same, tone)
+
+    def test_cli_resample_reference_fixture(self, tmp_path):
+        import numpy as np
+        from speecht5_tpu.cli.prep import main
+        from speecht5_tpu.data.audio import read_audio, write_wav
+
+        src = "/root/reference/WavLLM/wavllm/test_data/audio/II-task.wav"
+        if not os.path.exists(src):
+            # synthesize a 44.1 kHz stand-in
+            src = str(tmp_path / "in.wav")
+            t = np.arange(44100) / 44100.0
+            write_wav(src, 0.3 * np.sin(2 * np.pi * 300 * t), sr=44100)
+        out = str(tmp_path / "out16k.wav")
+        main(["resample", "-i", src, "-o", out, "--sr", "16000"])
+        wav, sr = read_audio(out)
+        assert sr == 16000 and len(wav) > 0
+        # read_audio(target_sr=...) resamples on the fly to the same result
+        direct, sr2 = read_audio(src, target_sr=16000)
+        assert sr2 == 16000
+        n = min(len(direct), len(wav))
+        np.testing.assert_allclose(direct[:n], wav[:n], atol=1e-3)

@@ -10,11 +10,12 @@ examples table, WavLLM/README.md:47-60):
                  native FLAC decoder, csrc/flac.cpp)
 - CoT-task.wav   news-style read speech, 11.0 s
 
-Two shipped fixtures are excluded by cost, not coverage: II-task.wav is
-44.1 kHz (the framework, like the reference recipes, operates on 16 kHz
-input) and CoT-task-story.wav is a 49 s monologue whose memorization
-roughly triples the single-core CPU training budget while exercising no
-additional code path.
+Two shipped fixtures are excluded deliberately: II-task.wav's README row
+has no ground-truth Target (its transcription appears only inside the
+model-Output column, so it is not a verified reference; it is also
+44.1 kHz — `prep resample` handles that now), and CoT-task-story.wav is a
+49 s monologue whose memorization roughly triples the single-core CPU
+training budget while exercising no additional code path.
 
 Gates:
 - ASR: one CLI fine-tune overfits the corpus; ALL FOUR decoder arms (joint
