@@ -478,6 +478,7 @@ def main(argv=None):
             items = [d[int(i)] for i in rows]
             yield bi, task_name, collate_for(task_name, d, items, epoch)
 
+    log_win = (time.time(), step)   # (wall, step) at the last log line
     while not done:
         start = batch0 if epoch == epoch0 else 0
         for bi, task_name, batch in prefetch(batch_stream(epoch, start)):
@@ -523,7 +524,12 @@ def main(argv=None):
             )
             if step % args.log_interval == 0:
                 avg = logger.averages()
-                avg["ups"] = step / max(time.time() - t_start, 1e-6)
+                # windowed rate: cumulative step/elapsed is misleading on
+                # resumed runs (global step vs this process's clock) and
+                # masks rate changes
+                now = time.time()
+                avg["ups"] = (step - log_win[1]) / max(now - log_win[0], 1e-6)
+                log_win = (now, step)
                 if D.is_primary():
                     print(json.dumps({"step": step, **{
                         k: round(v, 4) for k, v in avg.items()}}), flush=True)

@@ -147,11 +147,14 @@ def asr_ckpt(corpus):
         "--dict", str(corpus / "dict.ltr.txt"),
         "--arch", "speecht5_tiny",
         "--task", "s2t", "--save-dir", str(save),
-        "--max-updates", "500", "--batch-size", "1",
+        # calibrated: at 500 steps (~167 epochs over the 3 rows) CoT-task
+        # still greedy-decoded at WER ~0.6; 1100 steps reaches 0.0 on every
+        # arm.  ~7.9 s/step single-core -> ~2.4 h; the suite's long pole.
+        "--max-updates", "1100", "--batch-size", "1",
         "--lr", "2e-3", "--warmup", "30", "--mask-prob", "0",
-        "--label-smoothing", "0", "--save-interval", "250",
+        "--label-smoothing", "0", "--save-interval", "550",
         "--log-interval", "100", "--ctc-weight", "0.5",
-    ], timeout=5400)
+    ], timeout=12600)
     assert done.get("done")
     return save
 
