@@ -184,5 +184,8 @@ def test_parity_harness_dry_run_base_geometry(tmp_path):
     ])
     assert len(records) == 1
     assert records[0]["status"] == "report_only"
-    assert 0.0 <= records[0]["ours"] <= 1.5
+    # random-init beam output can exceed WER 1.0 (insertions against the
+    # 2-word refs); the gate is that the chain RUNS at base geometry and
+    # reports finite numbers, not decode quality
+    assert 0.0 <= records[0]["ours"] <= 4.0
     assert set(records[0]["arms"]) == {"ctc_greedy", "ctc_rescore"}
